@@ -1,0 +1,8 @@
+from ldm_image_generator_tpu.diffusion.ddpm import (  # noqa: F401
+    DiffusionSchedule,
+    ddim_sample,
+    ddim_step_pairs,
+    ddpm_loss,
+    make_schedule,
+    q_sample,
+)

@@ -1,0 +1,169 @@
+"""DDPM training loss + DDIM sampler (reference ddpm.py:11-93), TPU-native.
+
+Differences from the reference that are *design*, not behavior:
+  * All schedule tensors are device-resident fp32 arrays captured by the
+    jitted step — the reference keeps them on CPU as plain attributes and
+    pays two H2D copies per training step (ddpm.py:40-45) plus a recompute
+    at sample time (ddpm.py:73).
+  * The DDIM reverse process is a single ``lax.scan`` over the step
+    schedule: the whole 20-step chain (and the VAE decode appended by the
+    pipeline) stays in HBM with zero host round-trips. The reference syncs
+    every step to format a tqdm description (ddpm.py:87).
+  * Randomness is an explicit ``jax.random`` key threaded through the scan
+    (the reference mixes Python random / torch global state, ddpm.py:56-61).
+
+Behavioral parity:
+  * Linear beta schedule beta_min..beta_max over T (ddpm.py:19).
+  * alpha_bar[t] = prod_{i<=t} (1 - beta_i) (ddpm.py:28-31); the sampler's
+    ``cumprod(1-beta)`` (ddpm.py:73) is the same array.
+  * Training: t ~ Uniform{1..T-1}, x_t = sqrt(ab)x + sqrt(1-ab)e, default
+    L1 loss on predicted epsilon (ddpm.py:39-48).
+  * DDIM update with eta-parameterized sigma, linspace (or explicit list)
+    step schedule, x0 shortcut at t == 0 (ddpm.py:64-91).
+  * beta_tilde is computed for parity (ddpm.py:34-37) though, like the
+    reference, nothing consumes it.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ldm_image_generator_tpu.config import DDPMConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class DiffusionSchedule:
+    beta: jnp.ndarray        # [T]
+    alpha: jnp.ndarray       # [T] = 1 - beta
+    alpha_bar: jnp.ndarray   # [T] cumulative product of alpha
+    beta_tilde: jnp.ndarray  # [T] posterior variance (unused, parity)
+    num_timesteps: int
+
+
+def make_schedule(cfg: DDPMConfig = DDPMConfig()) -> DiffusionSchedule:
+    t = cfg.num_timesteps
+    beta = np.linspace(cfg.beta_min, cfg.beta_max, t, dtype=np.float64)
+    alpha = 1.0 - beta
+    alpha_bar = np.cumprod(alpha)
+    beta_tilde = np.ones(t, dtype=np.float64)
+    beta_tilde[1:] = (1.0 - alpha_bar[:-1]) / (1.0 - alpha_bar[1:]) * beta[1:]
+    f32 = lambda a: jnp.asarray(a, dtype=jnp.float32)
+    return DiffusionSchedule(
+        beta=f32(beta), alpha=f32(alpha), alpha_bar=f32(alpha_bar),
+        beta_tilde=f32(beta_tilde), num_timesteps=t,
+    )
+
+
+def _bcast(a: jnp.ndarray, ndim: int) -> jnp.ndarray:
+    """Append singleton dims so a [B] vector broadcasts over [B, ...]."""
+    return a.reshape(a.shape + (1,) * (ndim - a.ndim))
+
+
+def q_sample(schedule: DiffusionSchedule, x0: jnp.ndarray, t: jnp.ndarray,
+             eps: jnp.ndarray) -> jnp.ndarray:
+    """Forward process: sqrt(ab_t) x0 + sqrt(1-ab_t) eps (ddpm.py:46)."""
+    ab = _bcast(schedule.alpha_bar[t], x0.ndim).astype(x0.dtype)
+    return jnp.sqrt(ab) * x0 + jnp.sqrt(1.0 - ab) * eps
+
+
+def ddpm_loss(
+    denoise_fn: Callable[[jnp.ndarray, jnp.ndarray, jax.Array], jnp.ndarray],
+    schedule: DiffusionSchedule,
+    x: jnp.ndarray,
+    key: jax.Array,
+    loss: str = "l1",
+) -> jnp.ndarray:
+    """Epsilon-prediction loss (ddpm.py:39-48).
+
+    denoise_fn(x_t, t, key) -> eps_hat; the key covers the model's own
+    stochasticity (MoE routing, stochastic depth).
+    """
+    key_t, key_eps, key_model = jax.random.split(key, 3)
+    b = x.shape[0]
+    t = jax.random.randint(key_t, (b,), 1, schedule.num_timesteps)
+    eps = jax.random.normal(key_eps, x.shape, dtype=x.dtype)
+    x_t = q_sample(schedule, x, t, eps)
+    eps_hat = denoise_fn(x_t, t, key_model)
+    err = eps_hat.astype(jnp.float32) - eps.astype(jnp.float32)
+    if loss == "l1":
+        return jnp.mean(jnp.abs(err))
+    if loss == "l2":
+        return jnp.mean(err * err)
+    raise ValueError(f"unknown loss {loss!r}")
+
+
+def ddim_step_pairs(
+    num_timesteps: int,
+    num_steps: int = 20,
+    steps: Optional[Sequence[int]] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(t, t_next) pairs in reverse order, ready for lax.scan.
+
+    Matches ddpm.py:64-72: linspace(0, T-1, num_steps) truncated to int
+    (or a user-provided list), steps_next = [0] + steps[:-1], iterated in
+    reverse. Computed on host — step schedules are static.
+    """
+    if steps is None:
+        steps = np.linspace(0, num_timesteps - 1, num_steps).astype(np.int32)
+    else:
+        steps = np.asarray(list(steps), dtype=np.int32)
+    steps_next = np.concatenate([[0], steps[:-1]]).astype(np.int32)
+    return steps[::-1].copy(), steps_next[::-1].copy()
+
+
+def ddim_sample(
+    denoise_fn: Callable[[jnp.ndarray, jnp.ndarray, jax.Array], jnp.ndarray],
+    schedule: DiffusionSchedule,
+    key: jax.Array,
+    x_shape: Tuple[int, ...],
+    num_steps: int = 20,
+    eta: float = 0.0,
+    steps: Optional[Sequence[int]] = None,
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """DDIM reverse sampler as one lax.scan (ddpm.py:52-93, jitted whole).
+
+    denoise_fn(x, t_vec, key) -> eps_hat with t_vec: [B] int32 (raw
+    timestep indices, as the reference feeds TimeEncoding2d).
+    Returns x0-space samples of shape x_shape.
+    """
+    ts, ts_next = ddim_step_pairs(schedule.num_timesteps, num_steps, steps)
+    ts = jnp.asarray(ts)
+    ts_next = jnp.asarray(ts_next)
+    alpha_bar = schedule.alpha_bar
+
+    key, init_key = jax.random.split(key)
+    x = jax.random.normal(init_key, x_shape, dtype=dtype)
+    b = x_shape[0]
+
+    def body(carry, step):
+        x, k = carry
+        t, t_next = step
+        k, k_noise, k_model = jax.random.split(k, 3)
+        t_vec = jnp.full((b,), t, dtype=jnp.int32)
+        eps_hat = denoise_fn(x, t_vec, k_model).astype(jnp.float32)
+        xf = x.astype(jnp.float32)
+
+        a_t = alpha_bar[t]
+        a_n = alpha_bar[t_next]
+        sigma = (
+            eta
+            * jnp.sqrt((1.0 - a_n) / (1.0 - a_t))
+            * jnp.sqrt(jnp.maximum(1.0 - a_t / a_n, 0.0))
+        )
+        x0 = (xf - jnp.sqrt(1.0 - a_t) * eps_hat) / jnp.sqrt(a_t)
+        noise = jax.random.normal(k_noise, x_shape, dtype=jnp.float32)
+        x_new = (
+            jnp.sqrt(a_n) * x0
+            + jnp.sqrt(jnp.maximum(1.0 - a_n - sigma**2, 0.0)) * eps_hat
+            + sigma * noise
+        )
+        x = jnp.where(t == 0, x0, x_new).astype(dtype)  # ddpm.py:88-91
+        return (x, k), None
+
+    (x, _), _ = jax.lax.scan(body, (x, key), (ts, ts_next))
+    return x

@@ -1,0 +1,353 @@
+"""Parameterized building blocks (flax.linen), NHWC, mixed precision.
+
+These re-implement the *behavior* of the reference ops layer
+(attention.py, modules.py, unet.py:9-66) as TPU-idiomatic modules:
+
+  * 1x1 convs become Dense over the lane (channel) axis — a clean MXU matmul.
+  * Window attention is static reshapes + one batched MHA; the shifted-window
+    mask bug (attention.py:40, rolled activations used as mask) is fixed by
+    rolling the boolean mask.
+  * CrossAttention returns its output (the reference forgets the return,
+    attention.py:92-99, making conditioning dead; here it works).
+  * RandomMoE routing (2-of-4 uniform, modules.py:35) and stochastic depth
+    (p=0.25 per block per step, unet.py:39-40) are traced `jax.random`
+    draws with static shapes: routing gathers 2 expert weight slices from a
+    stacked [E, ...] tensor (so only 2 experts' FLOPs are spent), and
+    stochastic depth multiplies the residual branch by a 0/1 gate (the block
+    is residual, so gating the branch is exactly the reference's skip).
+
+RNG streams used under `.apply`:
+  'moe'  — expert routing (always required: the reference samples experts at
+           inference too, modules.py:35).
+  'sd'   — stochastic depth (only read when deterministic=False).
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ldm_image_generator_tpu.ops.norm import channel_norm
+from ldm_image_generator_tpu.ops.sinusoidal import (
+    positional_encoding_2d,
+    time_encoding_2d,
+)
+from ldm_image_generator_tpu.ops.window import (
+    merge_windows,
+    pad_mask,
+    pad_to_window_multiple,
+    partition_windows,
+    shift_2d,
+)
+
+Dtype = jnp.dtype
+
+NEG_INF = -1e9  # additive mask value; applied to fp32 scores
+
+
+class MultiHeadAttention(nn.Module):
+    """Standard MHA with separate q/k/v/out projections (all biased),
+    matching torch nn.MultiheadAttention semantics (attention.py:8).
+
+    Scores are computed in fp32 (softmax stability in bf16 runs).
+    key_padding_mask: [B, S] bool, True = masked key.
+    """
+
+    channels: int
+    num_heads: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, q_in, kv_in, key_padding_mask=None):
+        c, h = self.channels, self.num_heads
+        d = c // h
+        dense = lambda name: nn.Dense(c, dtype=self.dtype, name=name)
+        q = dense("q")(q_in)
+        k = dense("k")(kv_in)
+        v = dense("v")(kv_in)
+        b, l, _ = q.shape
+        s = k.shape[1]
+        q = q.reshape(b, l, h, d)
+        k = k.reshape(b, s, h, d)
+        v = v.reshape(b, s, h, d)
+        scores = jnp.einsum(
+            "blhd,bshd->bhls", q, k, preferred_element_type=jnp.float32
+        ) * (1.0 / jnp.sqrt(d).astype(jnp.float32))
+        if key_padding_mask is not None:
+            scores = scores + jnp.where(
+                key_padding_mask[:, None, None, :], NEG_INF, 0.0
+            )
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhls,bshd->blhd", probs, v)
+        out = out.reshape(b, l, c)
+        return nn.Dense(c, dtype=self.dtype, name="out")(out)
+
+
+class WindowAttention(nn.Module):
+    """Swin-style windowed self-attention over NHWC maps.
+
+    Behavior matches attention.py:5-85 with the mask bug fixed: bypass
+    windowing entirely when H,W <= window_size (attention.py:15-16);
+    otherwise pad to window multiples, optionally cyclic-shift by `shift`,
+    window-partition, run MHA with the (correctly shifted) pad mask,
+    merge, unshift, crop.
+    """
+
+    channels: int
+    num_heads: int
+    window_size: int = 6
+    shift: int = 0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        ws = self.window_size
+        mha = MultiHeadAttention(
+            self.channels, self.num_heads, dtype=self.dtype, name="mha"
+        )
+        if h <= ws and w <= ws:
+            tokens = x.reshape(b, h * w, c)
+            return mha(tokens, tokens).reshape(b, h, w, c)
+
+        xp, _, _ = pad_to_window_multiple(x, ws)
+        hp, wp = xp.shape[1], xp.shape[2]
+        mask2d = pad_mask(h, w, hp, wp)  # [Hp, Wp] True = padding
+        if self.shift != 0:
+            xp = shift_2d(xp, self.shift)
+            mask2d = jnp.roll(mask2d, (self.shift, self.shift), axis=(0, 1))
+
+        wins = partition_windows(xp, ws)  # [B*nwin, ws*ws, C]
+        mwin = partition_windows(mask2d[None, :, :, None], ws)  # [nwin, ws*ws, 1]
+        nwin = mwin.shape[0]
+        key_mask = jnp.tile(mwin[:, :, 0], (b, 1))  # windows are batch-major
+
+        out = mha(wins, wins, key_padding_mask=key_mask)
+        out = merge_windows(out, b, hp, wp, ws)
+        if self.shift != 0:
+            out = shift_2d(out, -self.shift)
+        return out[:, :h, :w, :]
+
+
+class CrossAttention(nn.Module):
+    """Cross-attention of a flattened map against condition tokens.
+
+    The reference's version computes this and then returns None
+    (attention.py:87-99); here it returns the attended map, making the
+    conditioning path functional.
+    """
+
+    channels: int
+    num_heads: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, cond):
+        b, h, w, c = x.shape
+        tokens = x.reshape(b, h * w, c)
+        out = MultiHeadAttention(
+            self.channels, self.num_heads, dtype=self.dtype, name="mha"
+        )(tokens, cond)
+        return out.reshape(b, h, w, c)
+
+
+class ReGLU(nn.Module):
+    """Gated FFN c(a(x) * relu(b(x))) of 1x1 convs (modules.py:7-15),
+    expressed as Dense layers over the channel axis."""
+
+    channels: int
+    ffn_mul: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        hidden = self.channels * self.ffn_mul
+        a = nn.Dense(hidden, dtype=self.dtype, name="a")(x)
+        b = nn.Dense(hidden, dtype=self.dtype, name="b")(x)
+        return nn.Dense(self.channels, dtype=self.dtype, name="c")(a * jax.nn.relu(b))
+
+
+class RandomMoE(nn.Module):
+    """general(x) + e_i(x) + e_j(x) with (i, j) a uniform 2-of-E draw per
+    call (modules.py:28-36 — note the reference samples at inference too).
+
+    Experts are stored stacked [E, ...]; the routing draw gathers exactly
+    `experts_per_call` weight slices, so compute scales with the number of
+    *active* experts, and the expert axis is ready to shard (EP) later.
+    """
+
+    channels: int
+    ffn_mul: int = 1
+    num_experts: int = 4
+    experts_per_call: int = 2
+    fixed_expert_indices: Optional[Sequence[int]] = None  # tests/parity only
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, expert_indices: Optional[jnp.ndarray] = None):
+        if expert_indices is None and self.fixed_expert_indices is not None:
+            expert_indices = jnp.asarray(self.fixed_expert_indices)
+        c = self.channels
+        hid = c * self.ffn_mul
+        e = self.num_experts
+        init = nn.initializers.lecun_normal(batch_axis=(0,))
+        wa = self.param("wa", init, (e, c, hid))
+        wb = self.param("wb", init, (e, c, hid))
+        wc = self.param("wc", init, (e, hid, c))
+        zeros = nn.initializers.zeros
+        ba = self.param("ba", zeros, (e, hid))
+        bb = self.param("bb", zeros, (e, hid))
+        bc = self.param("bc", zeros, (e, c))
+
+        if expert_indices is None:
+            rng = self.make_rng("moe")
+            expert_indices = jax.random.choice(
+                rng, e, (self.experts_per_call,), replace=False
+            )
+        idx = expert_indices
+
+        dt = self.dtype
+        xa = jnp.einsum("bhwc,kcm->kbhwm", x, wa[idx].astype(dt)) + ba[idx].astype(
+            dt
+        ).reshape(-1, 1, 1, 1, hid)
+        xb = jnp.einsum("bhwc,kcm->kbhwm", x, wb[idx].astype(dt)) + bb[idx].astype(
+            dt
+        ).reshape(-1, 1, 1, 1, hid)
+        hexp = xa * jax.nn.relu(xb)
+        out = jnp.einsum("kbhwm,kmc->bhwc", hexp, wc[idx].astype(dt)) + jnp.sum(
+            bc[idx].astype(dt), axis=0
+        )
+        general = ReGLU(c, self.ffn_mul, dtype=dt, name="general")(x)
+        return general + out
+
+
+class Encodings(nn.Module):
+    """FiLM conditioning from concatenated positional+time encodings
+    (unet.py:9-23): concat [pe | te] -> 1x1 MLP (2C -> 4C -> 2C, ReLU) ->
+    chunk into (mul, bias) -> x * mul + bias."""
+
+    channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, t):
+        b, h, w, c = x.shape
+        pe = positional_encoding_2d(h, w, c, dtype=self.dtype)  # [H,W,C]
+        te = time_encoding_2d(t, c, dtype=self.dtype)  # [B,1,1,C]
+        embs = jnp.concatenate(
+            [
+                jnp.broadcast_to(pe[None], (b, h, w, c)),
+                jnp.broadcast_to(te, (b, h, w, c)),
+            ],
+            axis=-1,
+        )
+        embs = nn.Dense(c * 4, dtype=self.dtype, name="proj1")(embs)
+        embs = nn.Dense(c * 2, dtype=self.dtype, name="proj2")(jax.nn.relu(embs))
+        mul, bias = jnp.split(embs, 2, axis=-1)
+        return x * mul + bias
+
+
+class SwinBlock(nn.Module):
+    """Residual block: ChannelNorm -> FiLM -> (MoE-FFN + grouped 3x3 conv
+    [+ window attention][+ cross attention]) -> +residual (unet.py:25-48).
+
+    Stochastic depth (p, drawn once per call, shared across the batch like
+    the reference's Python random.random(), unet.py:39) is applied as a 0/1
+    gate on the residual branch — mathematically identical to skipping the
+    block, but traced with static shapes.
+    """
+
+    channels: int
+    head_dim: int = 32
+    window_size: int = 6
+    shift: int = 0
+    attention: bool = True
+    stochastic_depth: float = 0.25
+    fixed_expert_indices: Optional[Sequence[int]] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, t, cond=None, deterministic: bool = True):
+        c = self.channels
+        heads = c // self.head_dim
+        res = x
+        h = channel_norm(x)
+        h = Encodings(c, dtype=self.dtype, name="encodings")(h, t)
+        branch = RandomMoE(
+            c,
+            fixed_expert_indices=self.fixed_expert_indices,
+            dtype=self.dtype,
+            name="ffn",
+        )(h)
+        branch = branch + nn.Conv(
+            c,
+            (3, 3),
+            padding="SAME",
+            feature_group_count=c // self.head_dim,
+            dtype=self.dtype,
+            name="conv",
+        )(h)
+        if self.attention:
+            branch = branch + WindowAttention(
+                c,
+                heads,
+                window_size=self.window_size,
+                shift=self.shift,
+                dtype=self.dtype,
+                name="self_attention",
+            )(h)
+            cross = CrossAttention(c, heads, dtype=self.dtype, name="cross_attention")
+            if cond is not None:
+                # reference applies cross-attn to the summed branch (unet.py:45-46)
+                branch = branch + cross(branch, cond)
+            else:
+                # Create the cross-attention params even when unconditioned so
+                # checkpoints are complete (the reference instantiates the
+                # module regardless, unet.py:33-35). The dummy call's output
+                # is unused -> XLA dead-code-eliminates the compute.
+                _ = cross(
+                    branch[:, :1, :1, :],
+                    jnp.zeros((branch.shape[0], 1, c), dtype=branch.dtype),
+                )
+
+        if not deterministic and self.stochastic_depth > 0.0:
+            keep = (
+                jax.random.uniform(self.make_rng("sd"), ()) > self.stochastic_depth
+            )
+            branch = branch * keep.astype(branch.dtype)
+        return res + branch
+
+
+class SwinStack(nn.Module):
+    """Stack of SwinBlocks with alternating window shift (shift=ws//2 on
+    even-indexed blocks) and attention enabled only on the last two blocks
+    (unet.py:50-66)."""
+
+    channels: int
+    num_blocks: int = 2
+    head_dim: int = 32
+    window_size: int = 6
+    attention: bool = True
+    stochastic_depth: float = 0.25
+    fixed_expert_indices: Optional[Sequence[int]] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, t, cond=None, deterministic: bool = True):
+        for i in range(self.num_blocks):
+            shift = self.window_size // 2 if i % 2 == 0 else 0
+            attn = self.attention and i >= self.num_blocks - 2
+            x = SwinBlock(
+                self.channels,
+                head_dim=self.head_dim,
+                window_size=self.window_size,
+                shift=shift,
+                attention=attn,
+                stochastic_depth=self.stochastic_depth,
+                fixed_expert_indices=self.fixed_expert_indices,
+                dtype=self.dtype,
+                name=f"block_{i}",
+            )(x, t, cond, deterministic=deterministic)
+        return x

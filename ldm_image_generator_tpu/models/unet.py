@@ -1,0 +1,98 @@
+"""Denoiser UNet (reference unet.py:74-103), NHWC / flax.
+
+4-stage symmetric UNet over latent maps. Encoder stages run without
+attention, decoder stages with attention on the last two blocks of each
+stack; additive skip connections with a zero bottleneck skip
+(unet.py:92-101). Downsampling between encoder stages is 1x1 conv then
+2x2 average pool; decoder upsampling is nearest 2x then 1x1 conv
+(unet.py:80-85). The stem / un-stem are stride-`stem_size` (transposed)
+convs — 1x1 Dense at the default stem_size=1 (unet.py:76-78).
+
+Unlike the reference, `condition` actually reaches the decoder stages'
+cross-attention (the reference drops it, unet.py:93,101, and its
+CrossAttention returns None anyway).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ldm_image_generator_tpu.config import UNetConfig
+from ldm_image_generator_tpu.models.layers import SwinStack
+
+
+def avg_pool_2x(x: jnp.ndarray) -> jnp.ndarray:
+    """AvgPool2d(kernel=2, stride=2) in NHWC."""
+    return nn.avg_pool(x, (2, 2), strides=(2, 2))
+
+
+def upsample_nearest_2x(x: jnp.ndarray) -> jnp.ndarray:
+    """nn.Upsample(scale_factor=2) default nearest mode (unet.py:85)."""
+    b, h, w, c = x.shape
+    x = x[:, :, None, :, None, :]
+    x = jnp.broadcast_to(x, (b, h, 2, w, 2, c))
+    return x.reshape(b, h * 2, w * 2, c)
+
+
+class UNet(nn.Module):
+    cfg: UNetConfig = UNetConfig()
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        time: jnp.ndarray,
+        condition: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        cfg = self.cfg
+        chs = list(cfg.channels)
+        stages = list(cfg.stages)
+        n = len(chs)
+        stem = cfg.stem_size
+        x = x.astype(self.dtype)
+
+        x = nn.Conv(
+            chs[0], (stem, stem), strides=(stem, stem), padding="VALID",
+            dtype=self.dtype, name="encoder_first",
+        )(x)
+
+        stack = lambda i, attn, name: SwinStack(
+            chs[i],
+            num_blocks=stages[i],
+            head_dim=cfg.head_dim,
+            window_size=cfg.window_size,
+            attention=attn,
+            stochastic_depth=cfg.stochastic_depth,
+            fixed_expert_indices=cfg.fixed_expert_indices,
+            dtype=self.dtype,
+            name=name,
+        )
+
+        skips = []
+        for i in range(n):
+            x = stack(i, False, f"enc_stage_{i}")(x, time, None, deterministic)
+            if i == n - 1:
+                skips.append(None)  # zero bottleneck skip (unet.py:95)
+            else:
+                skips.append(x)
+                x = nn.Dense(chs[i + 1], dtype=self.dtype, name=f"enc_chconv_{i}")(x)
+                x = avg_pool_2x(x)
+
+        for i in reversed(range(n)):
+            if i != n - 1:
+                x = upsample_nearest_2x(x)
+                x = nn.Dense(chs[i], dtype=self.dtype, name=f"dec_chconv_{i}")(x)
+            s = skips[i]
+            if s is not None:
+                x = x + s
+            x = stack(i, True, f"dec_stage_{i}")(x, time, condition, deterministic)
+
+        x = nn.ConvTranspose(
+            cfg.input_channels, (stem, stem), strides=(stem, stem), padding="VALID",
+            dtype=self.dtype, name="decoder_last",
+        )(x)
+        return x
