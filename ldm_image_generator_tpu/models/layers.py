@@ -271,7 +271,9 @@ class SwinBlock(nn.Module):
     @nn.compact
     def __call__(self, x, t, cond=None, deterministic: bool = True):
         c = self.channels
-        heads = c // self.head_dim
+        # guard for tiny test configs where channels < head_dim (the
+        # reference would divide by zero here, unet.py:30)
+        heads = max(1, c // self.head_dim)
         res = x
         h = channel_norm(x)
         h = Encodings(c, dtype=self.dtype, name="encodings")(h, t)
@@ -285,7 +287,7 @@ class SwinBlock(nn.Module):
             c,
             (3, 3),
             padding="SAME",
-            feature_group_count=c // self.head_dim,
+            feature_group_count=heads,
             dtype=self.dtype,
             name="conv",
         )(h)

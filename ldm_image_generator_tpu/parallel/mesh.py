@@ -1,0 +1,91 @@
+"""Device mesh + sharding layout for SPMD training/sampling.
+
+The reference has no distributed support at all (SURVEY.md §2: no DDP /
+NCCL / process groups — a single torch.device). This module is the
+framework's *new* scaling design, built the TPU way: one
+``jax.sharding.Mesh`` with named axes
+
+    ('data', 'model')
+
+and ``NamedSharding`` annotations; XLA GSPMD inserts the ICI collectives
+(psum for data-parallel gradients, all-gather/reduce-scatter around
+model-sharded matmuls). No hand-written communication backend exists or
+is needed.
+
+Layout policy:
+  * batch axis of activations -> 'data'   (pure DP; v5e-8 default)
+  * output-channel axis of large kernels -> 'model'  (tensor parallelism:
+    column-parallel matmuls; XLA propagates and inserts collectives)
+  * everything else replicated.
+
+Tensor-parallel sharding is applied only to kernels whose output-channel
+dim is divisible by the model-axis size and large enough to be worth the
+collective (>= MIN_TP_FEATURES), so tiny heads/biases stay replicated.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+MIN_TP_FEATURES = 256
+
+
+def make_mesh(
+    n_devices: Optional[int] = None,
+    model_parallel: int = 1,
+    devices=None,
+) -> Mesh:
+    """Build a ('data', 'model') mesh over the first n devices."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is None:
+        n_devices = len(devices)
+    devices = devices[:n_devices]
+    assert n_devices % model_parallel == 0, (n_devices, model_parallel)
+    arr = np.asarray(devices).reshape(n_devices // model_parallel, model_parallel)
+    return Mesh(arr, ("data", "model"))
+
+
+def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
+    """Shard the leading (batch) axis over 'data', replicate the rest."""
+    return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def _kernel_spec(path_leaf: str, shape, model_size: int) -> P:
+    """Decide the PartitionSpec for one param leaf.
+
+    Kernels (Dense [in, out], Conv [kh, kw, in, out], stacked MoE
+    [E, in, out]) are sharded on their trailing (output-feature) axis over
+    'model' when divisible and large; biases and small tensors replicate.
+    """
+    if model_size <= 1 or len(shape) < 2:
+        return P()
+    out_features = shape[-1]
+    if out_features % model_size != 0 or out_features < MIN_TP_FEATURES:
+        return P()
+    return P(*([None] * (len(shape) - 1)), "model")
+
+
+def param_shardings(params: Any, mesh: Mesh) -> Any:
+    """NamedSharding tree for a param pytree (TP on big kernels)."""
+    model_size = mesh.shape["model"]
+
+    def leaf(path, x):
+        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        spec = _kernel_spec(name, x.shape, model_size)
+        return NamedSharding(mesh, spec)
+
+    return jax.tree_util.tree_map_with_path(leaf, params)
+
+
+def shard_params(params: Any, mesh: Mesh) -> Any:
+    """Place a param pytree onto the mesh per param_shardings."""
+    shardings = param_shardings(params, mesh)
+    return jax.tree.map(jax.device_put, params, shardings)

@@ -1,0 +1,115 @@
+"""End-to-end jitted inference pipelines (the north-star path).
+
+The reference's sampling loop (sample_ldm.py:71-78) is a host-driven
+Python loop that syncs the device every DDIM step (tqdm desc, ddpm.py:87)
+and decodes/converts on host. Here the entire chain
+
+    init noise -> 20-step DDIM lax.scan -> VAE decode -> clamp -> uint8
+
+is ONE jitted computation: zero host round-trips, bf16 on the MXU, batch
+dimension first-class (the reference hardcodes batch=1, sample_ldm.py:72).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ldm_image_generator_tpu.config import (
+    DDPMConfig,
+    UNetConfig,
+    VAEConfig,
+)
+from ldm_image_generator_tpu.diffusion import ddim_sample, make_schedule
+from ldm_image_generator_tpu.models import Decoder, UNet
+
+
+def to_uint8(img: jnp.ndarray) -> jnp.ndarray:
+    """[-1, 1] float NHWC -> uint8, matching clamp*127.5+127.5
+    (sample_ldm.py:74-77)."""
+    img = jnp.clip(img.astype(jnp.float32), -1.0, 1.0)
+    return (img * 127.5 + 127.5).astype(jnp.uint8)
+
+
+class LDMPipeline:
+    """Latent diffusion sampler: DDIM over the UNet in latent space, then
+    VAE decode to pixels (sample_ldm.py flow)."""
+
+    def __init__(
+        self,
+        unet_cfg: UNetConfig = UNetConfig(),
+        vae_cfg: VAEConfig = VAEConfig(),
+        ddpm_cfg: DDPMConfig = DDPMConfig(),
+        dtype=jnp.bfloat16,
+    ):
+        self.unet = UNet(unet_cfg, dtype=dtype)
+        self.decoder = Decoder(vae_cfg, dtype=dtype)
+        self.schedule = make_schedule(ddpm_cfg)
+        self.unet_cfg = unet_cfg
+        self.vae_cfg = vae_cfg
+
+    @functools.partial(jax.jit, static_argnums=(0, 4, 5, 6, 7))
+    def sample(
+        self,
+        unet_params,
+        decoder_params,
+        key: jax.Array,
+        batch: int = 1,
+        image_size: int = 256,
+        num_steps: int = 20,
+        eta: float = 0.0,
+    ) -> jnp.ndarray:
+        """Returns uint8 images [batch, image_size, image_size, 3]."""
+        latent = image_size // self.vae_cfg.downscale
+        shape = (batch, latent, latent, self.unet_cfg.input_channels)
+
+        def denoise(x, t_vec, k):
+            return self.unet.apply(
+                unet_params, x, t_vec, deterministic=True, rngs={"moe": k}
+            ).astype(jnp.float32)
+
+        z = ddim_sample(
+            denoise, self.schedule, key, shape, num_steps=num_steps, eta=eta
+        )
+        img = self.decoder.apply(decoder_params, z)
+        return to_uint8(img)
+
+
+class DDPMPipeline:
+    """Pixel-space DDPM sampler (sample_ddpm.py flow; works because
+    input_channels is configurable, unlike the reference default that
+    crashes on 3-channel images — SURVEY.md §3.4)."""
+
+    def __init__(
+        self,
+        unet_cfg: Optional[UNetConfig] = None,
+        ddpm_cfg: DDPMConfig = DDPMConfig(),
+        dtype=jnp.bfloat16,
+    ):
+        self.unet_cfg = unet_cfg or UNetConfig(input_channels=3)
+        self.unet = UNet(self.unet_cfg, dtype=dtype)
+        self.schedule = make_schedule(ddpm_cfg)
+
+    @functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6))
+    def sample(
+        self,
+        unet_params,
+        key: jax.Array,
+        batch: int = 1,
+        image_size: int = 32,
+        num_steps: int = 20,
+        eta: float = 0.0,
+    ) -> jnp.ndarray:
+        shape = (batch, image_size, image_size, self.unet_cfg.input_channels)
+
+        def denoise(x, t_vec, k):
+            return self.unet.apply(
+                unet_params, x, t_vec, deterministic=True, rngs={"moe": k}
+            ).astype(jnp.float32)
+
+        x = ddim_sample(
+            denoise, self.schedule, key, shape, num_steps=num_steps, eta=eta
+        )
+        return to_uint8(x)

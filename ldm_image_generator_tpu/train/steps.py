@@ -1,0 +1,193 @@
+"""Jitted training steps: VAE+GAN and latent/pixel diffusion.
+
+Loss recipes follow the reference trainers exactly:
+  * VAE step (train_vae.py:104-127): random 192px crop of the batch (one
+    crop offset per batch, like torchvision RandomCrop on a batched
+    tensor), loss = 10*L1_recon + 1.0*VQ_reg + 0.1*hinge_G where
+    hinge_G = relu(-D(y)); then the discriminator hinge
+    relu(1+D(y_detached)) + relu(1-D(x)) on the same crop, mirroring the
+    reference's sequential two-optimizer step.
+  * LDM/DDPM step (train_ldm.py:76-86): eps-prediction L1 via
+    ddpm_loss; gradient accumulation is optax.MultiSteps (the reference's
+    `batch % bm` gating double-counts the first window — fixed, not
+    ported; divergence documented in SURVEY.md §2 #16).
+
+TPU notes: params fp32, compute bf16 (no GradScaler needed — bf16 has
+fp32-range exponents, unlike fp16 CUDA autocast, train_vae.py:96);
+everything is one jit with donated state; batch axis sharded over 'data'
+when a mesh is active (gradient psum inserted by XLA).
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ldm_image_generator_tpu.diffusion import DiffusionSchedule, ddpm_loss
+
+
+class VAETrainState(struct.PyTreeNode):
+    vae_params: Any      # {'encoder':…, 'decoder':…, 'quantizer':…}
+    disc_params: Any
+    opt_state_vae: Any
+    opt_state_disc: Any
+    step: jnp.ndarray
+
+
+class LDMTrainState(struct.PyTreeNode):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def random_crop_batch(images: jnp.ndarray, crop: int, key: jax.Array) -> jnp.ndarray:
+    """One random crop offset applied to the whole batch (torchvision
+    RandomCrop on a batched tensor picks a single offset,
+    train_vae.py:57,109)."""
+    b, h, w, c = images.shape
+    ky, kx = jax.random.split(key)
+    top = jax.random.randint(ky, (), 0, h - crop + 1)
+    left = jax.random.randint(kx, (), 0, w - crop + 1)
+    return jax.lax.dynamic_slice(images, (0, top, left, 0), (b, crop, crop, c))
+
+
+def make_vae_train_step(
+    encoder,
+    decoder,
+    quantizer,
+    discriminator,
+    tx_vae: optax.GradientTransformation,
+    tx_disc: optax.GradientTransformation,
+    weight_recon: float = 10.0,
+    weight_reg: float = 1.0,
+    weight_adv: float = 0.1,
+    crop_size: int = 192,
+    noise_gain: float = 0.1,
+) -> Callable:
+    """Returns step(state, images, key) -> (state, metrics, recon_images)."""
+
+    def step(state: VAETrainState, images: jnp.ndarray, key: jax.Array):
+        k_crop, k_noise = jax.random.split(key)
+        if crop_size and crop_size < images.shape[1]:
+            images = random_crop_batch(images, crop_size, k_crop)
+
+        def vae_loss_fn(vp):
+            z = encoder.apply({"params": vp["encoder"]}, images)
+            z = z + jax.random.normal(k_noise, z.shape, dtype=z.dtype) * noise_gain
+            b, h, w, d = z.shape
+            reg = quantizer.apply(
+                {"params": vp["quantizer"]}, z.reshape(b, h * w, d)
+            )
+            y = decoder.apply({"params": vp["decoder"]}, z)
+            recon = jnp.mean(
+                jnp.abs(images.astype(jnp.float32) - y.astype(jnp.float32))
+            )
+            logit_fake = discriminator.apply({"params": state.disc_params}, y)
+            adv = jax.nn.relu(-logit_fake)  # hinge G loss (train_vae.py:113)
+            loss = weight_recon * recon + weight_reg * reg + weight_adv * adv
+            return loss, (recon, reg, adv, y)
+
+        (loss, (recon, reg, adv, y)), grads = jax.value_and_grad(
+            vae_loss_fn, has_aux=True
+        )(state.vae_params)
+        updates, new_opt_vae = tx_vae.update(
+            grads, state.opt_state_vae, state.vae_params
+        )
+        new_vae_params = optax.apply_updates(state.vae_params, updates)
+
+        y_detached = jax.lax.stop_gradient(y)
+
+        def disc_loss_fn(dp):
+            logit_fake = discriminator.apply({"params": dp}, y_detached)
+            logit_real = discriminator.apply({"params": dp}, images)
+            # hinge D loss (train_vae.py:121-126)
+            return jax.nn.relu(1.0 + logit_fake) + jax.nn.relu(1.0 - logit_real)
+
+        d_loss, d_grads = jax.value_and_grad(disc_loss_fn)(state.disc_params)
+        d_updates, new_opt_disc = tx_disc.update(
+            d_grads, state.opt_state_disc, state.disc_params
+        )
+        new_disc_params = optax.apply_updates(state.disc_params, d_updates)
+
+        new_state = state.replace(
+            vae_params=new_vae_params,
+            disc_params=new_disc_params,
+            opt_state_vae=new_opt_vae,
+            opt_state_disc=new_opt_disc,
+            step=state.step + 1,
+        )
+        metrics = {
+            "loss": loss,
+            "recon": recon,
+            "reg": reg,
+            "adv": adv,
+            "d_loss": d_loss,
+        }
+        return new_state, metrics, y_detached
+
+    return step
+
+
+def make_ldm_train_step(
+    unet,
+    schedule: DiffusionSchedule,
+    tx: optax.GradientTransformation,
+    loss: str = "l1",
+    stochastic_depth: bool = True,
+) -> Callable:
+    """Returns step(state, latents, key) -> (state, metrics).
+
+    Works for both latent diffusion (train_ldm.py) and pixel-space DDPM
+    (train_ddpm.py) — the input is whatever space the UNet denoises.
+    """
+
+    def step(state: LDMTrainState, x: jnp.ndarray, key: jax.Array):
+        def loss_fn(params):
+            def denoise(x_t, t, k):
+                k_moe, k_sd = jax.random.split(k)
+                return unet.apply(
+                    params,
+                    x_t,
+                    t,
+                    deterministic=not stochastic_depth,
+                    rngs={"moe": k_moe, "sd": k_sd},
+                ).astype(jnp.float32)
+
+            return ddpm_loss(denoise, schedule, x, key, loss=loss)
+
+        loss_val, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            params=new_params, opt_state=new_opt, step=state.step + 1
+        )
+        return new_state, {"loss": loss_val}
+
+    return step
+
+
+def make_optimizer(name: str, learning_rate: float = 1e-4,
+                   accumulate: int = 1) -> optax.GradientTransformation:
+    """Optimizers used by the reference trainers:
+    adafactor (train_vae.py:95-97), adamw (train_ldm.py:67),
+    radam (train_ddpm.py:27). accumulate>1 wraps in MultiSteps
+    (correct version of train_ldm.py's -bm gating)."""
+    if name == "adafactor":
+        # transformers.Adafactor default (train_vae.py:95-97) uses the
+        # relative step size min(1e-2, 1/sqrt(step)); optax.adafactor with
+        # learning_rate=None applies no step-size scaling at all, so supply
+        # the same schedule explicitly.
+        rel_step = lambda step: jnp.minimum(1e-2, jax.lax.rsqrt(step + 1.0))
+        tx = optax.adafactor(learning_rate=rel_step)
+    elif name == "adamw":
+        tx = optax.adamw(learning_rate)
+    elif name == "radam":
+        tx = optax.radam(learning_rate)
+    else:
+        raise ValueError(f"unknown optimizer {name!r}")
+    if accumulate > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accumulate)
+    return tx

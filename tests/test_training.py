@@ -1,0 +1,111 @@
+"""Tiny-config integration tests: a few train steps must reduce the loss
+(SURVEY.md §4 integration tier)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ldm_image_generator_tpu.config import (
+    DDPMConfig,
+    DiscriminatorConfig,
+    UNetConfig,
+    VAEConfig,
+)
+from ldm_image_generator_tpu.diffusion import make_schedule
+from ldm_image_generator_tpu.models import (
+    Decoder,
+    Discriminator,
+    Encoder,
+    UNet,
+    VectorQuantizer,
+)
+from ldm_image_generator_tpu.train import (
+    LDMTrainState,
+    VAETrainState,
+    make_ldm_train_step,
+    make_optimizer,
+    make_vae_train_step,
+)
+
+
+def test_vae_train_step_decreases_loss():
+    cfg = VAEConfig().tiny()
+    dcfg = DiscriminatorConfig(channels=(8, 8), stages=(1, 1))
+    enc, dec = Encoder(cfg), Decoder(cfg)
+    q = VectorQuantizer(cfg.num_embeddings, cfg.embedding_dim)
+    disc = Discriminator(dcfg)
+
+    key = jax.random.PRNGKey(0)
+    img = jax.random.uniform(key, (2, 16, 16, 3), minval=-1, maxval=1)
+    vp = {
+        "encoder": enc.init(key, img)["params"],
+        "decoder": dec.init(key, jnp.zeros((2, 8, 8, 8)))["params"],
+        "quantizer": q.init(key, jnp.zeros((2, 64, 8)))["params"],
+    }
+    dp = disc.init(key, img)["params"]
+    tx_vae = make_optimizer("adafactor")
+    tx_d = make_optimizer("adafactor")
+    state = VAETrainState(
+        vae_params=vp,
+        disc_params=dp,
+        opt_state_vae=tx_vae.init(vp),
+        opt_state_disc=tx_d.init(dp),
+        step=jnp.zeros((), jnp.int32),
+    )
+    step = jax.jit(
+        make_vae_train_step(enc, dec, q, disc, tx_vae, tx_d, crop_size=0)
+    )
+    losses = []
+    for i in range(10):
+        state, metrics, recon = step(state, img, jax.random.PRNGKey(i))
+        losses.append(float(metrics["recon"]))
+    assert losses[-1] < losses[0], losses
+    assert recon.shape == img.shape
+
+
+def test_ldm_train_step_decreases_loss():
+    cfg = UNetConfig(input_channels=4, stages=(1, 1), channels=(16, 32))
+    unet = UNet(cfg)
+    schedule = make_schedule(DDPMConfig(num_timesteps=100))
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (4, 8, 8, 4))
+    t = jnp.zeros((4,), jnp.int32)
+    params = unet.init({"params": key, "moe": key, "sd": key}, x, t)
+    tx = make_optimizer("adamw", 1e-3)
+    state = LDMTrainState(
+        params=params, opt_state=tx.init(params), step=jnp.zeros((), jnp.int32)
+    )
+    step = jax.jit(make_ldm_train_step(unet, schedule, tx))
+    losses = []
+    for i in range(15):
+        state, metrics = step(state, x, jax.random.PRNGKey(100 + i))
+        losses.append(float(metrics["loss"]))
+    assert np.mean(losses[-3:]) < np.mean(losses[:3]), losses
+
+
+def test_grad_accumulation_multisteps():
+    """MultiSteps applies an update every k micro-steps (the corrected
+    version of the reference's -bm gating, train_ldm.py:76-86)."""
+    cfg = UNetConfig(input_channels=2, stages=(1,), channels=(16,))
+    unet = UNet(cfg)
+    schedule = make_schedule(DDPMConfig(num_timesteps=50))
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (2, 4, 4, 2))
+    params = unet.init(
+        {"params": key, "moe": key, "sd": key}, x, jnp.zeros((2,), jnp.int32)
+    )
+    tx = make_optimizer("adamw", 1e-3, accumulate=2)
+    state = LDMTrainState(
+        params=params, opt_state=tx.init(params), step=jnp.zeros((), jnp.int32)
+    )
+    step = jax.jit(make_ldm_train_step(unet, schedule, tx))
+
+    def flat(p):
+        return np.concatenate([np.asarray(l).ravel() for l in jax.tree.leaves(p)])
+
+    p0 = flat(state.params)
+    state, _ = step(state, x, jax.random.PRNGKey(1))
+    p1 = flat(state.params)
+    np.testing.assert_array_equal(p0, p1)  # first micro-step only buffers
+    state, _ = step(state, x, jax.random.PRNGKey(2))
+    p2 = flat(state.params)
+    assert not np.allclose(p1, p2)  # second micro-step applies the update
