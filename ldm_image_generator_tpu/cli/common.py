@@ -1,0 +1,68 @@
+"""Shared CLI plumbing: device selection, image IO, checkpoint helpers."""
+from __future__ import annotations
+
+import os
+import sys
+from typing import Optional
+
+import numpy as np
+
+
+def str2bool(v: str) -> bool:
+    """Proper boolean flag parsing. The reference uses argparse type=bool,
+    where any non-empty string (including 'False') parses as True
+    (train_vae.py:27, train_ldm.py:20, sample_ldm.py:17) — fixed here."""
+    if isinstance(v, bool):
+        return v
+    if v.lower() in ("true", "1", "yes", "y", "t"):
+        return True
+    if v.lower() in ("false", "0", "no", "n", "f", ""):
+        return False
+    raise ValueError(f"expected a boolean, got {v!r}")
+
+
+def add_device_arg(parser, default: str = "tpu") -> None:
+    parser.add_argument(
+        "-d", "--device", default=default,
+        choices=["tpu", "cpu", "cuda", "mps"],
+        help="Accelerator. 'tpu' (default) uses the JAX default backend; "
+        "'cpu' forces the CPU backend; cuda/mps are reference flags kept "
+        "for CLI parity and rejected here.",
+    )
+
+
+def setup_device(name: str) -> None:
+    print(f"selected device: {name}")
+    if name in ("cuda", "mps"):
+        print(f"Error: {name} is not available in this environment "
+              "(TPU-native framework; use -d tpu or -d cpu).")
+        sys.exit(1)
+    if name == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+
+def save_image(img_uint8: np.ndarray, path: str) -> None:
+    """uint8 HWC -> JPEG/PNG on disk."""
+    from PIL import Image
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    Image.fromarray(np.asarray(img_uint8), mode="RGB").save(path)
+
+
+def float_to_image(arr: np.ndarray) -> np.ndarray:
+    """[-1,1] float HWC -> uint8 (clamp*127.5+127.5, sample_ldm.py:74-77)."""
+    arr = np.clip(np.asarray(arr, dtype=np.float32), -1.0, 1.0)
+    return (arr * 127.5 + 127.5).astype(np.uint8)
+
+
+def maybe_load(path: str, target, torch_converter) -> Optional[object]:
+    """Load params from path if it exists (msgpack or torch), else None."""
+    if not os.path.exists(path):
+        return None
+    from ldm_image_generator_tpu.utils.checkpoint import load_params
+
+    loaded = load_params(path, target, torch_converter)
+    print(f"Loaded checkpoint: {path}")
+    return loaded

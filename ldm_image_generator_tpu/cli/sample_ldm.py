@@ -1,0 +1,78 @@
+"""Sample images from a trained LDM (reference sample_ldm.py flow).
+
+Same flags (sample_ldm.py:11-23); unlike the reference — which runs N
+sequential batch-1 sampling loops with a host sync per DDIM step — the N
+images are generated as ONE batched jitted computation (noise -> 20-step
+DDIM scan -> VAE decode -> uint8) and only the finished uint8 images
+cross back to host.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def build_parser() -> argparse.ArgumentParser:
+    from ldm_image_generator_tpu.cli.common import add_device_arg, str2bool
+
+    p = argparse.ArgumentParser(description="Sample LDM")
+    p.add_argument("-dp", "--ddpmpath", default="./ddpm.pt")
+    p.add_argument("-decp", "--decpath", default="./vae_decoder.pt")
+    add_device_arg(p)
+    p.add_argument("-fp16", default=False, type=str2bool)
+    p.add_argument("-s", "--size", default=512, type=int)
+    p.add_argument("-n", "--numimages", default=1, type=int)
+    p.add_argument("-t", "--timesteps", default=20, type=int)
+    p.add_argument("--seed", default=0, type=int)
+    p.add_argument("--eta", default=0.0, type=float)
+    p.add_argument("-o", "--outdir", default="./ddpm_outputs/")
+    p.add_argument("--config", default="default", choices=["default", "tiny"],
+                   help="model size preset (tiny = test/debug scale)")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    from ldm_image_generator_tpu.cli.common import maybe_load, save_image, setup_device
+
+    setup_device(args.device)
+
+    import jax
+    import jax.numpy as jnp
+
+    from ldm_image_generator_tpu.config import DDPMConfig, UNetConfig, VAEConfig
+    from ldm_image_generator_tpu.pipelines import LDMPipeline
+    from ldm_image_generator_tpu.utils import torch_import as ti
+
+    ucfg, vcfg = UNetConfig(), VAEConfig()
+    if args.config == "tiny":
+        ucfg, vcfg = ucfg.tiny(), vcfg.tiny()
+    dtype = jnp.bfloat16 if args.fp16 else jnp.float32
+    pipe = LDMPipeline(ucfg, vcfg, DDPMConfig(), dtype=dtype)
+
+    key = jax.random.PRNGKey(args.seed)
+    latent = args.size // vcfg.downscale
+    z0 = jnp.zeros((1, latent, latent, ucfg.input_channels))
+    t0 = jnp.zeros((1,), jnp.int32)
+    unet_params = pipe.unet.init({"params": key, "moe": key}, z0, t0)
+    dec_params = pipe.decoder.init(key, z0)
+
+    unet_params = maybe_load(args.ddpmpath, unet_params,
+                             lambda sd: ti.convert_ddpm(sd, ucfg)) or unet_params
+    dec_params = maybe_load(args.decpath, dec_params,
+                            lambda sd: ti.convert_decoder(sd, vcfg)) or dec_params
+
+    imgs = pipe.sample(
+        unet_params, dec_params, key,
+        batch=args.numimages, image_size=args.size, num_steps=args.timesteps,
+        eta=args.eta,
+    )
+    imgs = jax.device_get(imgs)
+    os.makedirs(args.outdir, exist_ok=True)
+    for i in range(args.numimages):
+        save_image(imgs[i], os.path.join(args.outdir, f"{i}.jpg"))
+    print(f"saved {args.numimages} images to {args.outdir}")
+
+
+if __name__ == "__main__":
+    main()

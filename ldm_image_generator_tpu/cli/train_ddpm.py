@@ -1,0 +1,128 @@
+"""Train a pixel-space DDPM (reference train_ddpm.py).
+
+The reference script has no argparse — batch 16 / 3000 epochs / lr 1e-4 /
+size 32 / 1000 images are hardcoded (train_ddpm.py:9-15) and it crashes
+with the default 8-channel UNet on 3-channel images (SURVEY.md §3.4).
+Here the same values are argparse *defaults*, the UNet is built with
+input_channels=3, and the optimizer is RAdam (train_ddpm.py:27).
+"""
+from __future__ import annotations
+
+import argparse
+
+
+def build_parser() -> argparse.ArgumentParser:
+    from ldm_image_generator_tpu.cli.common import add_device_arg, str2bool
+
+    p = argparse.ArgumentParser(description="Train pixel-space DDPM")
+    p.add_argument("dataset_path", nargs="+")
+    add_device_arg(p)
+    p.add_argument("-e", "--epoch", default=3000, type=int)
+    p.add_argument("-b", "--batch", default=16, type=int)
+    p.add_argument("-mp", "--modelpath", default="./ddpm.pt")
+    p.add_argument("-fp16", default=True, type=str2bool)
+    p.add_argument("-s", "--size", default=32, type=int)
+    p.add_argument("-m", "--maxdata", default=1000, type=int)
+    p.add_argument("-lr", "--learningrate", default=1e-4, type=float)
+    p.add_argument("--save-every", default=300, type=int)
+    p.add_argument("--ckpt-dir", default=None)
+    p.add_argument("--config", default="default", choices=["default", "tiny"],
+                   help="model size preset (tiny = test/debug scale)")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    from ldm_image_generator_tpu.cli.common import maybe_load, setup_device
+
+    setup_device(args.device)
+
+    import jax
+    import jax.numpy as jnp
+
+    from ldm_image_generator_tpu.config import DDPMConfig, UNetConfig
+    from ldm_image_generator_tpu.data import BatchLoader, ImageDataset
+    from ldm_image_generator_tpu.diffusion import make_schedule
+    from ldm_image_generator_tpu.models import UNet
+    from ldm_image_generator_tpu.parallel import batch_sharding, make_mesh
+    from ldm_image_generator_tpu.train import (
+        LDMTrainState,
+        make_ldm_train_step,
+        make_optimizer,
+    )
+    from ldm_image_generator_tpu.utils import torch_import as ti
+    from ldm_image_generator_tpu.utils.checkpoint import save_params
+    from ldm_image_generator_tpu.utils.metrics import MetricLogger
+
+    ucfg = UNetConfig(input_channels=3)
+    if args.config == "tiny":
+        ucfg = ucfg.tiny()
+    dtype = jnp.bfloat16 if args.fp16 else jnp.float32
+
+    ds = ImageDataset(args.dataset_path, size=args.size, max_len=args.maxdata)
+    print(f"dataset: {len(ds)} images at {args.size}px")
+
+    key = jax.random.PRNGKey(0)
+    unet = UNet(ucfg, dtype=dtype)
+    x0 = jnp.zeros((1, args.size, args.size, 3))
+    params = unet.init({"params": key, "moe": key, "sd": key},
+                       x0, jnp.zeros((1,), jnp.int32))
+    params = maybe_load(args.modelpath, params,
+                        lambda sd: ti.convert_ddpm(sd, ucfg)) or params
+
+    schedule = make_schedule(DDPMConfig())
+    tx = make_optimizer("radam", args.learningrate)
+    state = LDMTrainState(
+        params=params, opt_state=tx.init(params), step=jnp.zeros((), jnp.int32)
+    )
+
+    ckpt = None
+    if args.ckpt_dir:
+        from ldm_image_generator_tpu.utils.checkpoint import TrainCheckpointer
+
+        ckpt = TrainCheckpointer(args.ckpt_dir)
+        restored = ckpt.restore(state)
+        if restored is not None:
+            state = restored
+            print(f"Resumed from step {int(state.step)}")
+
+    step_fn = jax.jit(make_ldm_train_step(unet, schedule, tx),
+                      donate_argnums=(0,))
+
+    n_dev = len(jax.devices())
+    sharding = None
+    if n_dev > 1 and args.batch % n_dev == 0:
+        mesh = make_mesh(n_dev)
+        sharding = batch_sharding(mesh, 4)
+        print(f"data-parallel over {n_dev} devices")
+
+    loader = BatchLoader(ds, args.batch, sharding=sharding)
+    logger = MetricLogger(log_every=10)
+
+    def save_all():
+        save_params(args.modelpath, state.params)
+        if ckpt is not None:
+            ckpt.save(int(state.step), state)
+
+    try:
+        gstep = int(state.step)
+        for epoch in range(args.epoch):
+            print(f"Epoch #{epoch}")
+            for batch_idx, images in enumerate(loader):
+                state, metrics = step_fn(
+                    state, jnp.asarray(images), jax.random.fold_in(key, gstep)
+                )
+                gstep += 1
+                logger.log(gstep, metrics, batch_size=args.batch)
+                if batch_idx % args.save_every == 0:
+                    save_all()
+    except KeyboardInterrupt:
+        print("interrupted — saving")
+    finally:
+        save_all()
+        if ckpt is not None:
+            ckpt.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,149 @@
+"""Train the latent diffusion UNet on frozen-VAE latents.
+
+CLI surface mirrors the reference train_ldm.py:11-26; flow mirrors its
+loop (train_ldm.py:63-92): encode the dataset once through the frozen VAE
+encoder (here: batched + jitted, not per-image), AdamW, eps-prediction L1
+loss, gradient accumulation via -bm (implemented correctly with
+optax.MultiSteps — the reference's `batch % bm` gating double-applies the
+first window), periodic checkpoint.
+"""
+from __future__ import annotations
+
+import argparse
+
+
+def build_parser() -> argparse.ArgumentParser:
+    from ldm_image_generator_tpu.cli.common import add_device_arg, str2bool
+
+    p = argparse.ArgumentParser(description="Train Latent Diffusion Model")
+    p.add_argument("dataset_path", nargs="+")
+    add_device_arg(p)
+    p.add_argument("-e", "--epoch", default=1, type=int)
+    p.add_argument("-b", "--batch", default=1, type=int)
+    p.add_argument("-mp", "--modelpath", default="./ddpm.pt")
+    p.add_argument("-ep", "--encpath", default="./vae_encoder.pt")
+    p.add_argument("-fp16", default=False, type=str2bool)
+    p.add_argument("-s", "--size", default=512, type=int)
+    p.add_argument("-m", "--maxdata", default=-1, type=int)
+    p.add_argument("-lr", "--learningrate", default=1e-4, type=float)
+    p.add_argument("-bm", "--batch_multiply", default=1, type=int)
+    p.add_argument("--save-every", default=300, type=int)
+    p.add_argument("--ckpt-dir", default=None)
+    p.add_argument("--config", default="default", choices=["default", "tiny"],
+                   help="model size preset (tiny = test/debug scale)")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    from ldm_image_generator_tpu.cli.common import maybe_load, setup_device
+
+    setup_device(args.device)
+
+    import jax
+    import jax.numpy as jnp
+
+    from ldm_image_generator_tpu.config import DDPMConfig, UNetConfig, VAEConfig
+    from ldm_image_generator_tpu.data import BatchLoader, LatentImageDataset
+    from ldm_image_generator_tpu.diffusion import make_schedule
+    from ldm_image_generator_tpu.models import Encoder, UNet
+    from ldm_image_generator_tpu.parallel import batch_sharding, make_mesh
+    from ldm_image_generator_tpu.train import (
+        LDMTrainState,
+        make_ldm_train_step,
+        make_optimizer,
+    )
+    from ldm_image_generator_tpu.utils import torch_import as ti
+    from ldm_image_generator_tpu.utils.checkpoint import save_params
+    from ldm_image_generator_tpu.utils.metrics import MetricLogger
+
+    vcfg = VAEConfig()
+    ucfg = UNetConfig()
+    if args.config == "tiny":
+        vcfg, ucfg = vcfg.tiny(), ucfg.tiny()
+    dtype = jnp.bfloat16 if args.fp16 else jnp.float32
+
+    key = jax.random.PRNGKey(0)
+
+    # frozen encoder for the one-time latent cache build
+    enc = Encoder(vcfg, dtype=jnp.float32)
+    img0 = jnp.zeros((1, args.size, args.size, 3))
+    enc_p = enc.init(key, img0)
+    enc_p = maybe_load(args.encpath, enc_p,
+                       lambda sd: ti.convert_encoder(sd, vcfg)) or enc_p
+    encode = jax.jit(lambda x: enc.apply(enc_p, x))
+
+    ds = LatentImageDataset(
+        args.dataset_path, size=args.size, max_len=args.maxdata,
+        encode_fn=lambda x: encode(jnp.asarray(x)),
+    )
+    print(f"dataset: {len(ds)} latents "
+          f"({args.size // vcfg.downscale}px, {vcfg.latent_channels}ch)")
+    del enc_p
+
+    unet = UNet(ucfg, dtype=dtype)
+    latent = args.size // vcfg.downscale
+    z0 = jnp.zeros((1, latent, latent, ucfg.input_channels))
+    params = unet.init({"params": key, "moe": key, "sd": key},
+                       z0, jnp.zeros((1,), jnp.int32))
+    params = maybe_load(args.modelpath, params,
+                        lambda sd: ti.convert_ddpm(sd, ucfg)) or params
+
+    schedule = make_schedule(DDPMConfig())
+    tx = make_optimizer("adamw", args.learningrate,
+                        accumulate=args.batch_multiply)
+    state = LDMTrainState(
+        params=params, opt_state=tx.init(params), step=jnp.zeros((), jnp.int32)
+    )
+
+    ckpt = None
+    if args.ckpt_dir:
+        from ldm_image_generator_tpu.utils.checkpoint import TrainCheckpointer
+
+        ckpt = TrainCheckpointer(args.ckpt_dir)
+        restored = ckpt.restore(state)
+        if restored is not None:
+            state = restored
+            print(f"Resumed from step {int(state.step)}")
+
+    step_fn = jax.jit(make_ldm_train_step(unet, schedule, tx),
+                      donate_argnums=(0,))
+
+    n_dev = len(jax.devices())
+    sharding = None
+    if n_dev > 1 and args.batch % n_dev == 0:
+        mesh = make_mesh(n_dev)
+        sharding = batch_sharding(mesh, 4)
+        print(f"data-parallel over {n_dev} devices")
+
+    loader = BatchLoader(ds, args.batch, sharding=sharding)
+    logger = MetricLogger(log_every=10)
+
+    def save_all():
+        save_params(args.modelpath, state.params)
+        if ckpt is not None:
+            ckpt.save(int(state.step), state)
+
+    try:
+        gstep = int(state.step)
+        for epoch in range(args.epoch):
+            print(f"Epoch #{epoch}")
+            for batch_idx, latents in enumerate(loader):
+                state, metrics = step_fn(
+                    state, jnp.asarray(latents), jax.random.fold_in(key, gstep)
+                )
+                gstep += 1
+                logger.log(gstep, metrics, batch_size=args.batch)
+                if batch_idx % args.save_every == 0:
+                    save_all()
+                    print("Model is saved!")
+    except KeyboardInterrupt:
+        print("interrupted — saving")
+    finally:
+        save_all()
+        if ckpt is not None:
+            ckpt.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,191 @@
+"""Host-side image / latent datasets with a content-addressed cache.
+
+Reference behavior reproduced (dataset.py:19-188):
+  * glob `**/*.jpg` recursive + `*.png` non-recursive per source dir
+    (dataset.py:25), optional max_len truncation;
+  * aspect-preserving NEAREST resize with GaussianBlur(1) when
+    downscaling, black-pad to a centered square (dataset.py:47-71);
+  * pixel normalization x/127.5 - 1 as float32 (dataset.py:88-91);
+  * corrupt-file fallback to item 0 (dataset.py:79-85);
+  * LatentImageDataset runs a frozen encoder over the preprocessed images
+    and serves latents (dataset.py:98-188).
+
+Design fixes (not ported):
+  * The reference rmtree-rebuilds its cache on *every* construction
+    (`self.size = -1` at dataset.py:28 defeats the short-circuit at
+    dataset.py:34-36). Here the cache is content-addressed: keyed by
+    (source path, mtime, size, pipeline version), so repeated runs reuse
+    it and concurrent runs don't clobber each other (writes are atomic
+    via os.replace).
+  * `__len__` counts dataset entries, not cache-directory files
+    (dataset.py:95-96 counts leftover files).
+  * Latent encoding runs *batched* under jit on the accelerator instead
+    of one PIL image at a time through the encoder (dataset.py:131-168).
+  * The reference's blur flag compares the original size to half the
+    *target* (dataset.py:58-60), which fires for nearly every image; the
+    evident intent — anti-alias when downscaling — is implemented
+    instead.
+"""
+from __future__ import annotations
+
+import glob
+import hashlib
+import os
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+_PIPELINE_VERSION = "1"
+
+
+def _find_images(source_dirs: Sequence[str]) -> List[str]:
+    paths: List[str] = []
+    for d in source_dirs:
+        paths += glob.glob(os.path.join(d, "**/*.jpg"), recursive=True)
+        paths += glob.glob(os.path.join(d, "*.png"))
+    return paths
+
+
+def preprocess_image(path: str, size: int) -> np.ndarray:
+    """PIL load -> aspect-preserving NEAREST resize (+blur when
+    downscaling) -> centered black square pad -> float32 NHWC in [-1, 1]."""
+    from PIL import Image, ImageFilter, ImageFile
+
+    ImageFile.LOAD_TRUNCATED_IMAGES = True
+    img = Image.open(path).convert("RGB")
+    w0, h0 = img.size
+    if w0 > h0:
+        w, h = size, max(1, int(h0 * size / w0))
+    else:
+        w, h = max(1, int(w0 * size / h0)), size
+    downscaling = w0 > w or h0 > h
+    img = img.resize((w, h), Image.NEAREST)
+    if downscaling:
+        img = img.filter(ImageFilter.GaussianBlur(1))
+    canvas = Image.new("RGB", (size, size), (0, 0, 0))
+    canvas.paste(img, ((size - w) // 2, (size - h) // 2))
+    arr = np.asarray(canvas, dtype=np.float32) / 127.5 - 1.0  # [H, W, 3]
+    return arr
+
+
+class ImageDataset:
+    """Preprocessed square images served as float32 NHWC arrays."""
+
+    def __init__(
+        self,
+        source_dirs: Sequence[str],
+        cache_dir: str = "./dataset_cache/",
+        size: int = 8,
+        max_len: int = -1,
+        n_workers: int = -1,
+    ):
+        self.source_dirs = list(source_dirs)
+        self.cache_dir = cache_dir
+        self.size = size
+        self.n_workers = n_workers
+        self.paths = _find_images(source_dirs)
+        if max_len and max_len > 0:
+            self.paths = self.paths[:max_len]
+        os.makedirs(cache_dir, exist_ok=True)
+        self._cache_paths = [self._cache_path(p) for p in self.paths]
+        self._build_cache()
+
+    # -- cache ------------------------------------------------------------
+    def _cache_key(self, path: str) -> str:
+        try:
+            st = os.stat(path)
+            sig = f"{path}|{st.st_mtime_ns}|{st.st_size}"
+        except OSError:
+            sig = path
+        sig += f"|{self.size}|{_PIPELINE_VERSION}|{self._kind()}"
+        return hashlib.sha1(sig.encode()).hexdigest()
+
+    def _kind(self) -> str:
+        return "img"
+
+    def _cache_path(self, path: str) -> str:
+        return os.path.join(self.cache_dir, self._cache_key(path) + ".npy")
+
+    def _missing(self) -> List[int]:
+        return [i for i, c in enumerate(self._cache_paths)
+                if not os.path.exists(c)]
+
+    def _write_atomic(self, cache_path: str, arr: np.ndarray) -> None:
+        tmp = cache_path + f".tmp{os.getpid()}"
+        with open(tmp, "wb") as f:  # file object: np.save won't append .npy
+            np.save(f, arr)
+        os.replace(tmp, cache_path)
+
+    def _build_one(self, i: int) -> None:
+        arr = preprocess_image(self.paths[i], self.size)
+        self._write_atomic(self._cache_paths[i], arr.astype(np.float16))
+
+    def _build_cache(self) -> None:
+        missing = self._missing()
+        if not missing:
+            return
+        try:
+            import joblib
+
+            joblib.Parallel(n_jobs=self.n_workers, prefer="threads")(
+                joblib.delayed(self._build_one)(i) for i in missing
+            )
+        except ImportError:
+            for i in missing:
+                self._build_one(i)
+
+    # -- access -----------------------------------------------------------
+    def __len__(self) -> int:
+        return len(self.paths)
+
+    def __getitem__(self, index: int) -> np.ndarray:
+        try:
+            arr = np.load(self._cache_paths[index])
+        except Exception:
+            # corrupt-file fallback to item 0 (dataset.py:79-85)
+            arr = np.load(self._cache_paths[0])
+        return arr.astype(np.float32)
+
+
+class LatentImageDataset(ImageDataset):
+    """Images pushed through a frozen encoder once, served as latents.
+
+    ``encode_fn`` maps a float32 NHWC batch -> latent NHWC batch (e.g. a
+    jitted VAE Encoder apply). Encoding runs in device batches of
+    ``encode_batch`` — the reference feeds single images (dataset.py:166).
+    """
+
+    def __init__(
+        self,
+        source_dirs: Sequence[str],
+        cache_dir: str = "./dataset_cache/",
+        size: int = 512,
+        max_len: int = -1,
+        encode_fn=None,
+        encode_batch: int = 16,
+        n_workers: int = -1,
+    ):
+        self.encode_fn = encode_fn or (lambda x: x)
+        self.encode_batch = encode_batch
+        super().__init__(source_dirs, cache_dir, size, max_len, n_workers)
+
+    def _kind(self) -> str:
+        return "lat"
+
+    def _build_cache(self) -> None:
+        missing = self._missing()
+        if not missing:
+            return
+        bs = self.encode_batch
+        for start in range(0, len(missing), bs):
+            idxs = missing[start : start + bs]
+            imgs = np.stack(
+                [preprocess_image(self.paths[i], self.size) for i in idxs]
+            )
+            # pad the tail batch to keep the jitted encode shape static
+            pad = bs - len(idxs)
+            if pad:
+                imgs = np.concatenate([imgs, np.zeros_like(imgs[:1]).repeat(pad, 0)])
+            z = np.asarray(self.encode_fn(imgs))[: len(idxs)]
+            for j, i in enumerate(idxs):
+                self._write_atomic(self._cache_paths[i], z[j].astype(np.float16))

@@ -1,0 +1,83 @@
+"""Batched, shuffled, background-prefetching loader feeding the device.
+
+Replaces torch.utils.data.DataLoader (train_vae.py:98) with a minimal
+host-side pipeline: index shuffle per epoch, worker-threaded item loads,
+one-batch-ahead prefetch, and optional jax.device_put with a
+NamedSharding so batches land pre-sharded over the 'data' mesh axis.
+
+Static shapes for jit: the trailing partial batch is dropped by default
+(`drop_last=True`); the reference pads nothing and recompiles instead —
+under XLA that would be a new compilation per tail size.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional
+
+import numpy as np
+
+
+class BatchLoader:
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        seed: int = 0,
+        sharding=None,
+        prefetch: int = 2,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.rng = np.random.RandomState(seed)
+        self.sharding = sharding
+        self.prefetch = prefetch
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _epoch_indices(self) -> np.ndarray:
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            self.rng.shuffle(idx)
+        return idx
+
+    def _make_batch(self, idxs) -> np.ndarray:
+        return np.stack([self.dataset[int(i)] for i in idxs])
+
+    def __iter__(self) -> Iterator:
+        idx = self._epoch_indices()
+        n_batches = len(self)
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            for b in range(n_batches):
+                if stop.is_set():
+                    return
+                sl = idx[b * self.batch_size : (b + 1) * self.batch_size]
+                batch = self._make_batch(sl)
+                if self.sharding is not None:
+                    import jax
+
+                    batch = jax.device_put(batch, self.sharding)
+                q.put(batch)
+            q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                batch = q.get()
+                if batch is None:
+                    return
+                yield batch
+        finally:
+            stop.set()

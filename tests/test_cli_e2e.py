@@ -1,0 +1,103 @@
+"""End-to-end CLI tests on a synthetic dataset (tiny preset, CPU):
+train VAE -> train LDM on frozen latents -> sample images; plus the
+pixel-space DDPM path and checkpoint interop."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def dataset_dir(tmp_path_factory):
+    from PIL import Image
+
+    d = tmp_path_factory.mktemp("imgs")
+    rng = np.random.RandomState(0)
+    for i in range(6):
+        arr = (rng.rand(24, 20, 3) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(d / f"{i}.jpg")
+    # nested dir to exercise the recursive jpg glob (dataset.py:25)
+    sub = d / "nested"
+    sub.mkdir()
+    arr = (rng.rand(16, 16, 3) * 255).astype(np.uint8)
+    Image.fromarray(arr).save(sub / "n.jpg")
+    return str(d)
+
+
+def test_full_ldm_workflow(dataset_dir, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from ldm_image_generator_tpu.cli import sample_ldm, train_ldm, train_vae
+
+    common = [
+        "-d", "cpu", "--config", "tiny", "-s", "16", "-b", "2", "-e", "1",
+    ]
+    paths = [
+        "-ep", str(tmp_path / "enc.ckpt"), "-dp", str(tmp_path / "dec.ckpt"),
+    ]
+    train_vae.main(
+        [dataset_dir] + common + paths
+        + ["-qp", str(tmp_path / "q.ckpt"),
+           "-discp", str(tmp_path / "disc.ckpt"),
+           "-r", str(tmp_path / "results")]
+    )
+    assert os.path.exists(tmp_path / "enc.ckpt")
+    assert os.path.exists(tmp_path / "results" / "0_reconstructed.jpg")
+
+    train_ldm.main(
+        [dataset_dir] + common
+        + ["-ep", str(tmp_path / "enc.ckpt"),
+           "-mp", str(tmp_path / "ddpm.ckpt"),
+           "--ckpt-dir", str(tmp_path / "ckpts")]
+    )
+    assert os.path.exists(tmp_path / "ddpm.ckpt")
+    assert len(os.listdir(tmp_path / "ckpts")) > 0  # orbax step dir
+
+    sample_ldm.main(
+        ["-d", "cpu", "--config", "tiny", "-s", "16", "-t", "3",
+         "-dp", str(tmp_path / "ddpm.ckpt"),
+         "-decp", str(tmp_path / "dec.ckpt"),
+         "-n", "2", "-o", str(tmp_path / "out")]
+    )
+    files = sorted(os.listdir(tmp_path / "out"))
+    assert files == ["0.jpg", "1.jpg"]
+
+
+def test_ddpm_pixel_workflow(dataset_dir, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from ldm_image_generator_tpu.cli import sample_ddpm, train_ddpm
+
+    train_ddpm.main(
+        [dataset_dir, "-d", "cpu", "--config", "tiny", "-s", "8",
+         "-b", "2", "-e", "1", "-m", "4",
+         "-mp", str(tmp_path / "pix.ckpt")]
+    )
+    assert os.path.exists(tmp_path / "pix.ckpt")
+
+    sample_ddpm.main(
+        ["-d", "cpu", "--config", "tiny", "-s", "8", "-t", "2", "-n", "2",
+         "-dp", str(tmp_path / "pix.ckpt"), "-o", str(tmp_path / "pix_out")]
+    )
+    assert sorted(os.listdir(tmp_path / "pix_out")) == ["0.jpg", "1.jpg"]
+
+
+def test_torch_checkpoint_loads_via_cli_path(tmp_path):
+    """A reference torch state_dict dropped at the checkpoint path must be
+    transparently converted (migration path for reference users)."""
+    import torch
+
+    from tests.reference_util import import_reference
+
+    vae_ref = import_reference("vae")
+    ref = vae_ref.VectorQuantizer(num_embeddings=16, dim=8)
+    p = tmp_path / "q.pt"
+    torch.save(ref.state_dict(), str(p))
+
+    from ldm_image_generator_tpu.cli.common import maybe_load
+    from ldm_image_generator_tpu.utils import torch_import as ti
+
+    loaded = maybe_load(str(p), None, ti.convert_quantizer)
+    np.testing.assert_allclose(
+        loaded["params"]["embeddings"],
+        ref.state_dict()["embeddings"].numpy(),
+    )
