@@ -36,21 +36,24 @@ def main():
     )
 
     def run(seed):
-        return pipe.sample(
+        imgs = pipe.sample(
             unet_params, dec_params, jax.random.PRNGKey(seed),
             batch=batch, image_size=256, num_steps=20,
         )
+        # fetch images to host: that's the user-visible deliverable, and
+        # the only reliable fence on this tunneled backend (its
+        # block_until_ready can return before the device finishes)
+        return jax.device_get(imgs)
 
-    # warmup / compile
-    run(0).block_until_ready()
+    run(0)  # warmup / compile
 
     n_iters = 5
     start = time.perf_counter()
     for i in range(n_iters):
         out = run(i + 1)
-    out.block_until_ready()
     elapsed = time.perf_counter() - start
     images_per_s = (n_iters * batch) / elapsed
+    assert out.shape == (batch, 256, 256, 3)
 
     print(json.dumps({
         "metric": f"ldm_sample_256px_images_per_s_batch{batch}",

@@ -1,0 +1,133 @@
+"""Granular benchmarks beyond the headline bench.py number.
+
+Each line is JSON: {metric, value, unit, baseline, vs_baseline} where the
+baseline is the reference's measured CPU figure from BASELINE.md (null
+when the reference has no comparable path, e.g. batched sampling).
+
+Measurement notes: this environment reaches the TPU through a tunnel
+whose ``block_until_ready`` does not actually fence, and a fenced
+round-trip costs ~25ms. Device-bound steps (denoise, decode) are
+therefore measured as a chained lax.scan (one fence for N dependent
+steps, see utils.profiling.chained_time); end-to-end sampling is fenced
+per call with the image readback included — that IS the user-visible
+cost.
+
+Run: python benchmarks/micro.py [--train]
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from ldm_image_generator_tpu.config import DDPMConfig, UNetConfig, VAEConfig
+from ldm_image_generator_tpu.utils.profiling import chained_time, fence, time_fn
+
+# BASELINE.md measured reference values (PyTorch CPU eager fp32)
+BASE_DENOISE_B1_32 = 0.423      # s/step, batch 1, latent 32x32
+BASE_DENOISE_B1_64 = 1.319      # s/step, batch 1, latent 64x64
+BASE_DENOISE_B64_32 = 37.1      # s/step, batch 64, latent 32x32
+BASE_DECODE = 0.728             # s, (1,8,32,32) -> 256px
+BASE_E2E = 1 / 0.092            # s/image, 20 steps + decode
+
+
+def emit(metric, value, unit, baseline=None):
+    rec = {"metric": metric, "value": round(value, 5), "unit": unit,
+           "baseline": baseline}
+    if baseline:
+        rec["vs_baseline"] = round(baseline / value, 1)
+    print(json.dumps(rec), flush=True)
+
+
+def main():
+    from ldm_image_generator_tpu.models import Decoder, UNet
+
+    key = jax.random.PRNGKey(0)
+    ucfg, vcfg = UNetConfig(), VAEConfig()
+    unet = UNet(ucfg, dtype=jnp.bfloat16)
+    dec = Decoder(vcfg, dtype=jnp.bfloat16)
+
+    z32 = jnp.zeros((1, 32, 32, 8), jnp.float32)
+    t1 = jnp.zeros((1,), jnp.int32)
+    up = jax.jit(lambda k: unet.init({"params": k, "moe": k}, z32, t1))(key)
+    dp = jax.jit(lambda k: dec.init(k, z32))(jax.random.PRNGKey(1))
+
+    rngs = {"moe": jax.random.PRNGKey(2)}
+
+    for batch, latent, base, chain in [(1, 32, BASE_DENOISE_B1_32, 100),
+                                       (1, 64, BASE_DENOISE_B1_64, 100),
+                                       (64, 32, BASE_DENOISE_B64_32, 20),
+                                       (8, 32, None, 50)]:
+        x = jax.random.normal(key, (batch, latent, latent, 8), jnp.float32)
+        t = jnp.full((batch,), 500, jnp.int32)
+
+        def step(x, up):
+            # x -> eps_hat: shape-preserving, so steps chain on-device
+            return unet.apply(up, x, t, deterministic=True,
+                              rngs=rngs).astype(jnp.float32)
+
+        sec = chained_time(step, x, up, chain_len=chain, iters=3)
+        emit(f"unet_denoise_b{batch}_latent{latent}", sec, "s/step", base)
+
+    # decode: chain by feeding a scalar of the output back into the latent
+    z = jax.random.normal(key, (1, 32, 32, 8), jnp.float32)
+
+    def dec_step(z, dp):
+        y = dec.apply(dp, z)
+        return z + 0.0 * jnp.mean(y.astype(jnp.float32))
+
+    sec = chained_time(dec_step, z, dp, chain_len=50, iters=3)
+    emit("vae_decode_256px_b1", sec, "s", BASE_DECODE)
+
+    from ldm_image_generator_tpu.pipelines import LDMPipeline
+
+    pipe = LDMPipeline(ucfg, vcfg, DDPMConfig(), dtype=jnp.bfloat16)
+    for batch in [1, 8]:
+        def run(k):
+            img = pipe.sample(up, dp, k, batch=batch, image_size=256,
+                              num_steps=20)
+            return jax.device_get(img)  # images to host = the deliverable
+
+        sec, _ = time_fn(run, jax.random.PRNGKey(3), iters=5)
+        emit(f"ldm_e2e_256px_b{batch}", sec / batch, "s/image",
+             BASE_E2E if batch == 1 else None)
+
+    if "--train" in sys.argv:
+        from ldm_image_generator_tpu.diffusion import make_schedule
+        from ldm_image_generator_tpu.train import (
+            LDMTrainState, make_ldm_train_step, make_optimizer,
+        )
+
+        schedule = make_schedule(DDPMConfig())
+        tx = make_optimizer("adamw", 1e-4)
+        state = LDMTrainState(params=up, opt_state=tx.init(up),
+                              step=jnp.zeros((), jnp.int32))
+        step = make_ldm_train_step(unet, schedule, tx)
+        xb = jax.random.normal(key, (8, 32, 32, 8), jnp.float32)
+
+        @jax.jit
+        def chain_train(state):
+            def body(s, i):
+                s, m = step(s, xb, jax.random.fold_in(key, i))
+                return s, m["loss"]
+
+            return jax.lax.scan(body, state, jnp.arange(10))
+
+        state2, losses = chain_train(state)
+        fence(losses)
+        import time as _t
+
+        t0 = _t.perf_counter()
+        state2, losses = chain_train(state)
+        fence(losses)
+        emit("ldm_train_step_b8_latent32", (_t.perf_counter() - t0) / 10,
+             "s/step", None)
+
+
+if __name__ == "__main__":
+    main()

@@ -144,7 +144,9 @@ def ddim_sample(
         x, k = carry
         t, t_next = step
         k, k_noise, k_model = jax.random.split(k, 3)
-        t_vec = jnp.full((b,), t, dtype=jnp.int32)
+        # one shared timestep per DDIM step: pass t with batch dim 1 and
+        # let the model's time conditioning broadcast over the image batch
+        t_vec = jnp.full((1,), t, dtype=jnp.int32)
         eps_hat = denoise_fn(x, t_vec, k_model).astype(jnp.float32)
         xf = x.astype(jnp.float32)
 

@@ -234,12 +234,18 @@ class Encodings(nn.Module):
     @nn.compact
     def __call__(self, x, t):
         b, h, w, c = x.shape
+        # The FiLM MLP input depends only on (h, w) and t — not on x — so
+        # it is evaluated at the *time* batch size bt = t.shape[0] and
+        # broadcast onto x. Samplers pass t of shape [1] (one shared
+        # timestep per DDIM step), making the MLP cost independent of the
+        # image batch; training passes per-sample t ([B]).
+        bt = t.shape[0]
         pe = positional_encoding_2d(h, w, c, dtype=self.dtype)  # [H,W,C]
-        te = time_encoding_2d(t, c, dtype=self.dtype)  # [B,1,1,C]
+        te = time_encoding_2d(t, c, dtype=self.dtype)  # [bt,1,1,C]
         embs = jnp.concatenate(
             [
-                jnp.broadcast_to(pe[None], (b, h, w, c)),
-                jnp.broadcast_to(te, (b, h, w, c)),
+                jnp.broadcast_to(pe[None], (bt, h, w, c)),
+                jnp.broadcast_to(te, (bt, h, w, c)),
             ],
             axis=-1,
         )

@@ -26,6 +26,21 @@ from ldm_image_generator_tpu.diffusion import ddim_sample, make_schedule
 from ldm_image_generator_tpu.models import Decoder, UNet
 
 
+def cast_floating(tree, dtype):
+    """Cast floating leaves of a param tree to the compute dtype.
+
+    Done once per pipeline call, *before* the DDIM scan: flax layers cast
+    fp32 params to the compute dtype at every use, so without this each
+    of the 20 denoise steps re-reads the full fp32 weight tree from HBM
+    (1.5GB for the default UNet) instead of the bf16 half."""
+    return jax.tree.map(
+        lambda x: x.astype(dtype)
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+        else x,
+        tree,
+    )
+
+
 def to_uint8(img: jnp.ndarray) -> jnp.ndarray:
     """[-1, 1] float NHWC -> uint8, matching clamp*127.5+127.5
     (sample_ldm.py:74-77)."""
@@ -64,6 +79,8 @@ class LDMPipeline:
         """Returns uint8 images [batch, image_size, image_size, 3]."""
         latent = image_size // self.vae_cfg.downscale
         shape = (batch, latent, latent, self.unet_cfg.input_channels)
+        unet_params = cast_floating(unet_params, self.unet.dtype)
+        decoder_params = cast_floating(decoder_params, self.decoder.dtype)
 
         def denoise(x, t_vec, k):
             return self.unet.apply(
@@ -103,6 +120,7 @@ class DDPMPipeline:
         eta: float = 0.0,
     ) -> jnp.ndarray:
         shape = (batch, image_size, image_size, self.unet_cfg.input_channels)
+        unet_params = cast_floating(unet_params, self.unet.dtype)
 
         def denoise(x, t_vec, k):
             return self.unet.apply(
