@@ -6,3 +6,4 @@ from ldm_image_generator_tpu.diffusion.ddpm import (  # noqa: F401
     make_schedule,
     q_sample,
 )
+from ldm_image_generator_tpu.diffusion.engine import DDPM  # noqa: F401

@@ -221,3 +221,37 @@ def vae_loss(encoder_apply, decoder_apply, quantizer_apply, x,
     y = decoder_apply(z)
     recon = jnp.mean(jnp.abs(jax.lax.stop_gradient(x) - y))
     return recon, reg, y
+
+
+class VAE:
+    """Object-style wrapper composing encoder/decoder/quantizer with their
+    params (API parity with the reference VAE class, vae.py:29-52; the
+    reference's ``calclate_loss`` typo is kept as an alias)."""
+
+    def __init__(self, encoder: Encoder, decoder: Decoder,
+                 quantizer: VectorQuantizer,
+                 encoder_params=None, decoder_params=None,
+                 quantizer_params=None):
+        self.encoder = encoder
+        self.decoder = decoder
+        self.quantizer = quantizer
+        self.encoder_params = encoder_params
+        self.decoder_params = decoder_params
+        self.quantizer_params = quantizer_params
+
+    def calculate_loss(self, x, noise_key, noise_gain: float = 0.1):
+        """(recon, reg, y) exactly as vae.py:36-43."""
+        return vae_loss(
+            lambda v: self.encoder.apply(self.encoder_params, v),
+            lambda v: self.decoder.apply(self.decoder_params, v),
+            lambda v: self.quantizer.apply(self.quantizer_params, v),
+            x, noise_key, noise_gain,
+        )
+
+    calclate_loss = calculate_loss  # reference spelling (vae.py:36)
+
+    def encode(self, x):
+        return self.encoder.apply(self.encoder_params, x)
+
+    def decode(self, z):
+        return self.decoder.apply(self.decoder_params, z)

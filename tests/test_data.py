@@ -1,0 +1,80 @@
+"""Data pipeline tests: preprocessing semantics, cache behavior, loader."""
+import os
+
+import numpy as np
+import pytest
+
+from ldm_image_generator_tpu.data import BatchLoader, ImageDataset, LatentImageDataset
+from ldm_image_generator_tpu.data.dataset import preprocess_image
+
+
+@pytest.fixture()
+def imgdir(tmp_path):
+    from PIL import Image
+
+    rng = np.random.RandomState(0)
+    for i in range(5):
+        arr = (rng.rand(20, 30, 3) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(tmp_path / f"{i}.jpg")
+    return tmp_path
+
+
+def test_preprocess_square_pad_and_range(imgdir):
+    arr = preprocess_image(str(imgdir / "0.jpg"), 16)
+    assert arr.shape == (16, 16, 3)
+    assert arr.dtype == np.float32
+    assert arr.min() >= -1.0 and arr.max() <= 1.0
+    # 20x30 (h x w) landscape -> resized to w=16, h=10 -> vertical black pad
+    assert np.all(arr[0] == -1.0) and np.all(arr[-1] == -1.0)
+
+
+def test_dataset_cache_reused_not_rebuilt(imgdir, tmp_path):
+    cache = str(tmp_path / "cache")
+    ds = ImageDataset([str(imgdir)], cache_dir=cache, size=8)
+    assert len(ds) == 5
+    files = sorted(os.listdir(cache))
+    mtimes = [os.path.getmtime(os.path.join(cache, f)) for f in files]
+    # second construction must reuse the cache (the reference rmtree-
+    # rebuilds every time, dataset.py:28-41)
+    ds2 = ImageDataset([str(imgdir)], cache_dir=cache, size=8)
+    files2 = sorted(os.listdir(cache))
+    assert files == files2
+    assert mtimes == [os.path.getmtime(os.path.join(cache, f)) for f in files2]
+    # different size -> new cache entries, old preserved
+    ImageDataset([str(imgdir)], cache_dir=cache, size=4)
+    assert len(os.listdir(cache)) == 10
+
+
+def test_dataset_getitem_and_corrupt_fallback(imgdir, tmp_path):
+    cache = str(tmp_path / "cache")
+    ds = ImageDataset([str(imgdir)], cache_dir=cache, size=8)
+    x = ds[3]
+    assert x.shape == (8, 8, 3) and x.dtype == np.float32
+    # corrupt one cache file -> falls back to item 0 (dataset.py:79-85)
+    os.truncate(ds._cache_paths[2], 3)
+    np.testing.assert_array_equal(ds[2], ds[0])
+
+
+def test_latent_dataset_batched_encode(imgdir, tmp_path):
+    calls = []
+
+    def encode(batch):
+        calls.append(batch.shape)
+        return batch[:, ::2, ::2, :] * 0.5  # fake encoder, 2x down
+
+    ds = LatentImageDataset([str(imgdir)], cache_dir=str(tmp_path / "c"),
+                            size=8, encode_fn=encode, encode_batch=4)
+    assert len(ds) == 5
+    z = ds[0]
+    assert z.shape == (4, 4, 3)
+    # 5 images, batch 4 -> two padded batches of 4
+    assert calls == [(4, 8, 8, 3), (4, 8, 8, 3)]
+
+
+def test_batch_loader_shapes_and_epoch(imgdir, tmp_path):
+    ds = ImageDataset([str(imgdir)], cache_dir=str(tmp_path / "c"), size=8)
+    loader = BatchLoader(ds, batch_size=2, shuffle=True, seed=1)
+    batches = list(loader)
+    assert len(batches) == 2  # 5 items, drop_last
+    assert all(b.shape == (2, 8, 8, 3) for b in batches)
+    assert len(loader) == 2

@@ -1,0 +1,62 @@
+"""API-parity wrapper tests: DDPM / VAE object surfaces."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ldm_image_generator_tpu.config import UNetConfig, VAEConfig
+from ldm_image_generator_tpu.diffusion import DDPM
+from ldm_image_generator_tpu.models import (
+    VAE,
+    Decoder,
+    Encoder,
+    UNet,
+    VectorQuantizer,
+)
+
+
+def test_ddpm_wrapper_loss_and_sample():
+    cfg = UNetConfig(input_channels=3, stages=(1, 1), channels=(16, 32))
+    unet = UNet(cfg)
+    key = jax.random.PRNGKey(0)
+    x = jnp.zeros((2, 8, 8, 3))
+    params = unet.init({"params": key, "moe": key, "sd": key},
+                       x, jnp.zeros((2,), jnp.int32))
+    ddpm = DDPM(unet, params, num_timesteps=50)
+
+    loss = ddpm.calculate_loss(jax.random.normal(key, (2, 8, 8, 3)),
+                               jax.random.PRNGKey(1))
+    assert jnp.isfinite(loss)
+
+    out = ddpm.sample((2, 8, 8, 3), seed=3, num_steps=4)
+    assert out.shape == (2, 8, 8, 3)
+    out2 = ddpm.sample((2, 8, 8, 3), seed=3, num_steps=4)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+
+    # explicit step schedule (ddpm.py:68-70 list path)
+    out3 = ddpm.sample((1, 8, 8, 3), seed=0, schedule=[0, 10, 30, 49])
+    assert out3.shape == (1, 8, 8, 3)
+
+
+def test_vae_wrapper_roundtrip():
+    cfg = VAEConfig().tiny()
+    enc, dec = Encoder(cfg), Decoder(cfg)
+    q = VectorQuantizer(cfg.num_embeddings, cfg.embedding_dim)
+    key = jax.random.PRNGKey(0)
+    img = jax.random.uniform(key, (2, 16, 16, 3), minval=-1, maxval=1)
+    z0 = jnp.zeros((2, 8, 8, cfg.latent_channels))
+    vae = VAE(
+        enc, dec, q,
+        encoder_params=enc.init(key, img),
+        decoder_params=dec.init(key, z0),
+        quantizer_params=q.init(key, z0.reshape(2, -1, cfg.latent_channels)),
+    )
+    z = vae.encode(img)
+    assert z.shape == (2, 8, 8, cfg.latent_channels)
+    y = vae.decode(z)
+    assert y.shape == img.shape
+    recon, reg, out = vae.calculate_loss(img, jax.random.PRNGKey(1))
+    assert jnp.isfinite(recon) and jnp.isfinite(reg)
+    assert out.shape == img.shape
+    # reference-spelling alias (vae.py:36)
+    recon2, _, _ = vae.calclate_loss(img, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(float(recon), float(recon2))
