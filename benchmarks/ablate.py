@@ -106,7 +106,7 @@ def main():
         return call
 
     for disable in [("attn",), ("moe",), ("conv",), ("film",), ("norm",)]:
-        L.SwinBlock.__call__ = make_ablated(set(disable))
+        L.SwinBlock.__call__ = nn.compact(make_ablated(set(disable)))
         try:
             timed(f"no_{'_'.join(disable)}")
         finally:

@@ -55,6 +55,10 @@ def main(argv=None):
     )
     from ldm_image_generator_tpu.utils import torch_import as ti
     from ldm_image_generator_tpu.utils.checkpoint import save_params
+    from ldm_image_generator_tpu.utils.debug import (
+        GracefulShutdown,
+        assert_finite_metrics,
+    )
     from ldm_image_generator_tpu.utils.metrics import MetricLogger
 
     vcfg = VAEConfig()
@@ -124,6 +128,7 @@ def main(argv=None):
         if ckpt is not None:
             ckpt.save(int(state.step), state)
 
+    shutdown = GracefulShutdown()
     try:
         gstep = int(state.step)
         for epoch in range(args.epoch):
@@ -134,6 +139,12 @@ def main(argv=None):
                 )
                 gstep += 1
                 logger.log(gstep, metrics, batch_size=args.batch)
+                if gstep % 50 == 0:
+                    assert_finite_metrics(
+                        {k: v for k, v in metrics.items()}, gstep)
+                if shutdown.requested:
+                    print("SIGTERM received — saving and exiting")
+                    raise KeyboardInterrupt
                 if batch_idx % args.save_every == 0:
                     save_all()
                     print("Model is saved!")
