@@ -34,6 +34,9 @@ class UNetConfig:
     # Deterministic MoE routing for parity tests / debugging; None = random
     # 2-of-num_experts per call (the reference behavior, modules.py:35).
     fixed_expert_indices: "tuple | None" = None
+    # Debug/profiling: SwinBlock branch names to skip at apply time
+    # ('norm','film','moe','conv','attn'); params still created.
+    ablate_branches: "tuple | None" = None
 
     def tiny(self) -> "UNetConfig":
         return dataclasses.replace(

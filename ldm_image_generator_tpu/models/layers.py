@@ -272,7 +272,14 @@ class SwinBlock(nn.Module):
     attention: bool = True
     stochastic_depth: float = 0.25
     fixed_expert_indices: Optional[Sequence[int]] = None
+    # debug/profiling: branch names ('norm','film','moe','conv','attn') to
+    # skip at apply time; params are still created so checkpoints and
+    # param trees stay identical (used by benchmarks/ablate.py)
+    ablate_branches: Optional[Sequence[str]] = None
     dtype: Dtype = jnp.float32
+
+    def _on(self, name: str) -> bool:
+        return self.ablate_branches is None or name not in self.ablate_branches
 
     @nn.compact
     def __call__(self, x, t, cond=None, deterministic: bool = True):
@@ -281,31 +288,48 @@ class SwinBlock(nn.Module):
         # reference would divide by zero here, unet.py:30)
         heads = max(1, c // self.head_dim)
         res = x
-        h = channel_norm(x)
-        h = Encodings(c, dtype=self.dtype, name="encodings")(h, t)
-        branch = RandomMoE(
+        h = channel_norm(x) if self._on("norm") else x
+        enc = Encodings(c, dtype=self.dtype, name="encodings")
+        if self._on("film"):
+            h = enc(h, t)
+        else:
+            _ = enc(h[:, :1, :1, :], t)  # param creation only
+        moe = RandomMoE(
             c,
             fixed_expert_indices=self.fixed_expert_indices,
             dtype=self.dtype,
             name="ffn",
-        )(h)
-        branch = branch + nn.Conv(
+        )
+        if self._on("moe"):
+            branch = moe(h)
+        else:
+            _ = moe(h[:, :1, :1, :])
+            branch = jnp.zeros_like(h)
+        conv = nn.Conv(
             c,
             (3, 3),
             padding="SAME",
             feature_group_count=heads,
             dtype=self.dtype,
             name="conv",
-        )(h)
+        )
+        if self._on("conv"):
+            branch = branch + conv(h)
+        else:
+            _ = conv(h[:, :3, :3, :])
         if self.attention:
-            branch = branch + WindowAttention(
+            wattn = WindowAttention(
                 c,
                 heads,
                 window_size=self.window_size,
                 shift=self.shift,
                 dtype=self.dtype,
                 name="self_attention",
-            )(h)
+            )
+            if self._on("attn"):
+                branch = branch + wattn(h)
+            else:
+                _ = wattn(h[:, : self.window_size, : self.window_size, :])
             cross = CrossAttention(c, heads, dtype=self.dtype, name="cross_attention")
             if cond is not None:
                 # reference applies cross-attn to the summed branch (unet.py:45-46)
@@ -340,6 +364,7 @@ class SwinStack(nn.Module):
     attention: bool = True
     stochastic_depth: float = 0.25
     fixed_expert_indices: Optional[Sequence[int]] = None
+    ablate_branches: Optional[Sequence[str]] = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -355,6 +380,7 @@ class SwinStack(nn.Module):
                 attention=attn,
                 stochastic_depth=self.stochastic_depth,
                 fixed_expert_indices=self.fixed_expert_indices,
+                ablate_branches=self.ablate_branches,
                 dtype=self.dtype,
                 name=f"block_{i}",
             )(x, t, cond, deterministic=deterministic)

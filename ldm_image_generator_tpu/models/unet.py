@@ -68,6 +68,7 @@ class UNet(nn.Module):
             attention=attn,
             stochastic_depth=cfg.stochastic_depth,
             fixed_expert_indices=cfg.fixed_expert_indices,
+            ablate_branches=cfg.ablate_branches,
             dtype=self.dtype,
             name=name,
         )
