@@ -1,0 +1,89 @@
+"""Fused VQ nearest-neighbor search (Pallas TPU kernel).
+
+The VectorQuantizer's hot op (vae.py:18-22) is: for N latent vectors
+(dim D=8) find the nearest of K=8192 codebook entries. The XLA lowering
+materializes the [N, K] score matrix in HBM (e.g. 150MB per VAE train
+step at 192px crops) and then reduces it. This kernel tiles N over the
+grid, keeps the whole codebook (K x D = 256KB fp32) plus one [TN, K]
+score tile resident in VMEM, and writes only the argmin indices — HBM
+traffic drops from O(N*K) to O(N*D + K*D + N).
+
+Distances: argmin_k ||x - e_k||^2 == argmin_k (||e_k||^2 - 2 x.e_k);
+the ||x||^2 term is row-constant and dropped (same trick as the XLA
+path in models/vae.py).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+TILE_N = 512
+
+
+def nearest_codebook_indices_xla(x: jnp.ndarray, codebook: jnp.ndarray
+                                 ) -> jnp.ndarray:
+    """Reference XLA implementation. x: [N, D], codebook: [K, D] -> [N]."""
+    xf = x.astype(jnp.float32)
+    e = codebook.astype(jnp.float32)
+    dots = jnp.einsum("nd,kd->nk", xf, e, preferred_element_type=jnp.float32)
+    e_sq = jnp.sum(e * e, axis=-1)
+    return jnp.argmin(e_sq[None, :] - 2.0 * dots, axis=-1).astype(jnp.int32)
+
+
+def _vq_kernel(x_ref, e_ref, e_sq_ref, out_ref):
+    from jax.experimental import pallas as pl  # noqa: F401
+
+    x = x_ref[:].astype(jnp.float32)              # [TN, D]
+    e = e_ref[:].astype(jnp.float32)              # [K, D]
+    # scores tile stays in VMEM: [TN, K]
+    dots = jax.lax.dot_general(
+        x, e, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    scores = e_sq_ref[:].reshape(1, -1) - 2.0 * dots
+    out_ref[:] = jnp.argmin(scores, axis=-1).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def nearest_codebook_indices_pallas(x: jnp.ndarray, codebook: jnp.ndarray,
+                                    interpret: bool = False) -> jnp.ndarray:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, d = x.shape
+    k = codebook.shape[0]
+    n_pad = (-n) % TILE_N
+    xp = jnp.pad(x, ((0, n_pad), (0, 0))) if n_pad else x
+    np_total = n + n_pad
+    e_sq = jnp.sum(codebook.astype(jnp.float32) ** 2, axis=-1)
+
+    grid = (np_total // TILE_N,)
+    out = pl.pallas_call(
+        _vq_kernel,
+        out_shape=jax.ShapeDtypeStruct((np_total,), jnp.int32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TILE_N, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k,), lambda i: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TILE_N,), lambda i: (i,),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(xp, codebook, e_sq)
+    return out[:n]
+
+
+def nearest_codebook_indices(x: jnp.ndarray, codebook: jnp.ndarray
+                             ) -> jnp.ndarray:
+    """Dispatcher: Pallas on TPU, XLA elsewhere. x: [..., D] -> [...]."""
+    shape = x.shape[:-1]
+    flat = x.reshape(-1, x.shape[-1])
+    backend = jax.default_backend()
+    if backend in ("tpu", "axon"):
+        idx = nearest_codebook_indices_pallas(flat, codebook)
+    else:
+        idx = nearest_codebook_indices_xla(flat, codebook)
+    return idx.reshape(shape)

@@ -143,15 +143,15 @@ class VectorQuantizer(nn.Module):
         """Nearest codebook index per vector. x: [..., D] -> [...] int32.
 
         argmin of squared Euclidean distance == the reference's
-        argmax(-cdist) (vae.py:18-22); computed as one MXU matmul plus
-        norms instead of materializing pairwise differences.
+        argmax(-cdist) (vae.py:18-22). On TPU this dispatches to the
+        fused Pallas kernel (kernels/vq.py) that keeps the [N, K] score
+        tile in VMEM; elsewhere it's one MXU matmul plus norms.
         """
-        e = jax.lax.stop_gradient(self.embeddings.astype(jnp.float32))
-        xf = jax.lax.stop_gradient(x.astype(jnp.float32))
-        dots = jnp.einsum("...d,kd->...k", xf, e, preferred_element_type=jnp.float32)
-        e_sq = jnp.sum(e * e, axis=-1)
-        # ||x||^2 is constant per row for the argmin — omitted.
-        return jnp.argmin(e_sq[None, :] - 2.0 * dots.reshape(-1, e.shape[0]), axis=-1).reshape(x.shape[:-1])
+        from ldm_image_generator_tpu.kernels.vq import nearest_codebook_indices
+
+        e = jax.lax.stop_gradient(self.embeddings)
+        xf = jax.lax.stop_gradient(x)
+        return nearest_codebook_indices(xf, e)
 
     def embed(self, idx: jnp.ndarray) -> jnp.ndarray:
         return jnp.take(self.embeddings, idx, axis=0)
