@@ -37,6 +37,9 @@ class UNetConfig:
     # Debug/profiling: SwinBlock branch names to skip at apply time
     # ('norm','film','moe','conv','attn'); params still created.
     ablate_branches: "tuple | None" = None
+    # 'auto' = Pallas fused window attention for inference calls on TPU,
+    # XLA elsewhere; 'pallas'/'xla' force a backend.
+    attention_backend: str = "auto"
 
     def tiny(self) -> "UNetConfig":
         return dataclasses.replace(

@@ -57,16 +57,45 @@ class MultiHeadAttention(nn.Module):
 
     channels: int
     num_heads: int
+    use_fused: bool = False  # Pallas fused path for self-attention on TPU
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, q_in, kv_in, key_padding_mask=None):
         c, h = self.channels, self.num_heads
         d = c // h
-        dense = lambda name: nn.Dense(c, dtype=self.dtype, name=name)
-        q = dense("q")(q_in)
-        k = dense("k")(kv_in)
-        v = dense("v")(kv_in)
+        init = nn.initializers.lecun_normal()
+        zeros = nn.initializers.zeros
+        wq = self.param("wq", init, (c, c))
+        bq = self.param("bq", zeros, (c,))
+        wk = self.param("wk", init, (c, c))
+        bk = self.param("bk", zeros, (c,))
+        wv = self.param("wv", init, (c, c))
+        bv = self.param("bv", zeros, (c,))
+        wo = self.param("wo", init, (c, c))
+        bo = self.param("bo", zeros, (c,))
+        dt = self.dtype
+        weights = tuple(
+            w.astype(dt) for w in (wq, bq, wk, bk, wv, bv, wo, bo)
+        )
+
+        if (
+            self.use_fused
+            and q_in is kv_in
+            and c % 128 == 0
+            and jax.default_backend() in ("tpu", "axon")
+        ):
+            from ldm_image_generator_tpu.kernels.window_attention import (
+                fused_window_mha,
+            )
+
+            return fused_window_mha(
+                q_in.astype(dt), key_padding_mask, *weights, num_heads=h
+            )
+
+        q = q_in.astype(dt) @ weights[0] + weights[1]
+        k = kv_in.astype(dt) @ weights[2] + weights[3]
+        v = kv_in.astype(dt) @ weights[4] + weights[5]
         b, l, _ = q.shape
         s = k.shape[1]
         q = q.reshape(b, l, h, d)
@@ -79,10 +108,10 @@ class MultiHeadAttention(nn.Module):
             scores = scores + jnp.where(
                 key_padding_mask[:, None, None, :], NEG_INF, 0.0
             )
-        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(self.dtype)
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(dt)
         out = jnp.einsum("bhls,bshd->blhd", probs, v)
         out = out.reshape(b, l, c)
-        return nn.Dense(c, dtype=self.dtype, name="out")(out)
+        return out @ weights[6] + weights[7]
 
 
 class WindowAttention(nn.Module):
@@ -99,6 +128,7 @@ class WindowAttention(nn.Module):
     num_heads: int
     window_size: int = 6
     shift: int = 0
+    use_fused: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -106,7 +136,8 @@ class WindowAttention(nn.Module):
         b, h, w, c = x.shape
         ws = self.window_size
         mha = MultiHeadAttention(
-            self.channels, self.num_heads, dtype=self.dtype, name="mha"
+            self.channels, self.num_heads, use_fused=self.use_fused,
+            dtype=self.dtype, name="mha"
         )
         if h <= ws and w <= ws:
             tokens = x.reshape(b, h * w, c)
@@ -337,6 +368,10 @@ class SwinBlock(nn.Module):
     # skip at apply time; params are still created so checkpoints and
     # param trees stay identical (used by benchmarks/ablate.py)
     ablate_branches: Optional[Sequence[str]] = None
+    # 'auto': Pallas fused attention for deterministic (inference) calls on
+    # TPU, XLA otherwise; 'pallas'/'xla' force (fused is differentiable via
+    # an XLA-recompute VJP, so 'pallas' is safe for training too)
+    attention_backend: str = "auto"
     dtype: Dtype = jnp.float32
 
     def _on(self, name: str) -> bool:
@@ -377,11 +412,15 @@ class SwinBlock(nn.Module):
         else:
             _ = conv(h[:, :3, :3, :])
         if self.attention:
+            use_fused = self.attention_backend == "pallas" or (
+                self.attention_backend == "auto" and deterministic
+            )
             wattn = WindowAttention(
                 c,
                 heads,
                 window_size=self.window_size,
                 shift=self.shift,
+                use_fused=use_fused,
                 dtype=self.dtype,
                 name="self_attention",
             )
@@ -424,6 +463,7 @@ class SwinStack(nn.Module):
     stochastic_depth: float = 0.25
     fixed_expert_indices: Optional[Sequence[int]] = None
     ablate_branches: Optional[Sequence[str]] = None
+    attention_backend: str = "auto"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -440,6 +480,7 @@ class SwinStack(nn.Module):
                 stochastic_depth=self.stochastic_depth,
                 fixed_expert_indices=self.fixed_expert_indices,
                 ablate_branches=self.ablate_branches,
+                attention_backend=self.attention_backend,
                 dtype=self.dtype,
                 name=f"block_{i}",
             )(x, t, cond, deterministic=deterministic)

@@ -69,6 +69,7 @@ class UNet(nn.Module):
             stochastic_depth=cfg.stochastic_depth,
             fixed_expert_indices=cfg.fixed_expert_indices,
             ablate_branches=cfg.ablate_branches,
+            attention_backend=cfg.attention_backend,
             dtype=self.dtype,
             name=name,
         )

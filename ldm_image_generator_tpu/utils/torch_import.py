@@ -136,17 +136,16 @@ def convert_discriminator(
 
 
 def _mha(sd: Mapping, prefix: str) -> Dict[str, Any]:
+    # torch packs qkv in in_proj_weight [3C, C] (attention.py:8)
     w = _np(sd[prefix + ".in_proj_weight"])
     b = _np(sd[prefix + ".in_proj_bias"])
     c = w.shape[1]
     return {
-        "q": {"kernel": w[:c].T, "bias": b[:c]},
-        "k": {"kernel": w[c : 2 * c].T, "bias": b[c : 2 * c]},
-        "v": {"kernel": w[2 * c :].T, "bias": b[2 * c :]},
-        "out": {
-            "kernel": dense_from_linear(sd[prefix + ".out_proj.weight"]),
-            "bias": _np(sd[prefix + ".out_proj.bias"]),
-        },
+        "wq": w[:c].T, "bq": b[:c],
+        "wk": w[c : 2 * c].T, "bk": b[c : 2 * c],
+        "wv": w[2 * c :].T, "bv": b[2 * c :],
+        "wo": dense_from_linear(sd[prefix + ".out_proj.weight"]),
+        "bo": _np(sd[prefix + ".out_proj.bias"]),
     }
 
 

@@ -83,3 +83,72 @@ def test_grouped_conv_matches_torch_grouped():
         params, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
     np.testing.assert_allclose(
         np.asarray(ours), ref_out.transpose(0, 2, 3, 1), rtol=2e-4, atol=2e-5)
+
+
+def test_window_mha_pallas_matches_xla():
+    from ldm_image_generator_tpu.kernels.window_attention import (
+        window_mha_pallas,
+        window_mha_xla,
+    )
+
+    key = jax.random.PRNGKey(0)
+    n, l, c, h = 13, 36, 128, 4
+    x = jax.random.normal(key, (n, l, c))
+    ks = jax.random.split(jax.random.PRNGKey(1), 8)
+    wq, wk, wv, wo = (jax.random.normal(k, (c, c)) * 0.05 for k in ks[:4])
+    bq, bk, bv, bo = (jax.random.normal(k, (c,)) * 0.05 for k in ks[4:])
+    mask = jnp.zeros((n, l), dtype=bool).at[:, 30:].set(True)
+
+    ref = window_mha_xla(x, mask, wq, bq, wk, bk, wv, bv, wo, bo, h)
+    out = window_mha_pallas(x, mask, wq, bq, wk, bk, wv, bv, wo, bo,
+                            num_heads=h, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+    # no-mask path
+    ref = window_mha_xla(x, None, wq, bq, wk, bk, wv, bv, wo, bo, h)
+    out = window_mha_pallas(x, None, wq, bq, wk, bk, wv, bv, wo, bo,
+                            num_heads=h, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_fused_window_mha_grad_matches_xla():
+    from ldm_image_generator_tpu.kernels.window_attention import (
+        fused_window_mha,
+        window_mha_xla,
+    )
+    from unittest import mock
+    import ldm_image_generator_tpu.kernels.window_attention as wa
+
+    key = jax.random.PRNGKey(0)
+    n, l, c, h = 4, 16, 128, 4
+    x = jax.random.normal(key, (n, l, c))
+    ks = jax.random.split(jax.random.PRNGKey(1), 8)
+    wq, wk, wv, wo = (jax.random.normal(k, (c, c)) * 0.05 for k in ks[:4])
+    bq, bk, bv, bo = (jax.random.normal(k, (c,)) * 0.05 for k in ks[4:])
+
+    # forward via interpret-mode pallas inside the custom_vjp
+    orig = wa.window_mha_pallas
+    with mock.patch.object(
+        wa, "window_mha_pallas",
+        lambda *a, **kw: orig(*a, **{**kw, "interpret": True}),
+    ):
+        def f_fused(x, wq):
+            return jnp.sum(
+                fused_window_mha(x, None, wq, bq, wk, bk, wv, bv, wo, bo, h)
+                ** 2
+            )
+
+        gx, gw = jax.grad(f_fused, argnums=(0, 1))(x, wq)
+
+    def f_ref(x, wq):
+        return jnp.sum(
+            window_mha_xla(x, None, wq, bq, wk, bk, wv, bv, wo, bo, h) ** 2
+        )
+
+    rx, rw = jax.grad(f_ref, argnums=(0, 1))(x, wq)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(rx), rtol=1e-4,
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(rw), rtol=1e-4,
+                               atol=1e-4)
