@@ -37,8 +37,8 @@ class UNetConfig:
     # Debug/profiling: SwinBlock branch names to skip at apply time
     # ('norm','film','moe','conv','attn'); params still created.
     ablate_branches: "tuple | None" = None
-    # 'auto' = Pallas fused window attention for inference calls on TPU,
-    # XLA elsewhere; 'pallas'/'xla' force a backend.
+    # 'pallas' opts into the fused Pallas window-attention kernel;
+    # 'auto'/'xla' use XLA's lowering (faster at the default window size).
     attention_backend: str = "auto"
 
     def tiny(self) -> "UNetConfig":

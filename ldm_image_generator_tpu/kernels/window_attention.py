@@ -17,6 +17,15 @@ a float additive bias (0 / -1e9), sidestepping packed-bool layouts.
 Training: fused_window_mha carries a custom VJP whose backward pass is
 the XLA reference implementation's VJP (forward recompute) — gradients
 flow, and the backward matmuls are plain XLA.
+
+Status: numerically verified on TPU (max |err| ~0.02 in bf16) but
+measured ~13% SLOWER than XLA's lowering at the production shapes
+(36-token windows, C=512, 16 heads): Mosaic's tpu.matmul takes one batch
+dim, so heads loop statically over small [TN, 36, 36] matmuls, and the
+4-D transpose that would batch (TN*H) crashes the Mosaic compiler in
+this environment. Kept as an opt-in backend (UNetConfig.
+attention_backend='pallas') with equivalence + grad tests; the default
+path is XLA.
 """
 from __future__ import annotations
 
@@ -62,24 +71,33 @@ def _make_kernel(num_heads: int, tn: int, l: int, c: int, out_dtype):
             ) + b_ref[:].astype(jnp.float32)  # b_ref: [1, C]
             return y.astype(x.dtype)
 
-        q = dot(x, wq_ref, bq_ref).reshape(tn, l, num_heads, d)
-        k = dot(x, wk_ref, bk_ref).reshape(tn, l, num_heads, d)
-        v = dot(x, wv_ref, bv_ref).reshape(tn, l, num_heads, d)
+        q = dot(x, wq_ref, bq_ref).reshape(tn, l, c)
+        k = dot(x, wk_ref, bk_ref).reshape(tn, l, c)
+        v = dot(x, wv_ref, bv_ref).reshape(tn, l, c)
+        bias = bias_ref[:][:, None, :]  # [TN, 1, L]
 
-        # [TN, H, L, S] fp32 scores, resident in VMEM only
-        scores = jax.lax.dot_general(
-            q, k,
-            dimension_numbers=(((3,), (3,)), ((0, 2), (0, 2))),
-            preferred_element_type=jnp.float32,
-        )
-        scores = scores * scale + bias_ref[:][:, None, None, :]
-        probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-        out = jax.lax.dot_general(
-            probs, v,
-            dimension_numbers=(((3,), (1,)), ((0, 1), (0, 2))),
-            preferred_element_type=jnp.float32,
-        )  # [TN, H, L, D]
-        out = out.astype(x.dtype).transpose(0, 2, 1, 3).reshape(tn * l, c)
+        # Mosaic's tpu.matmul supports a single batch dim, so loop heads
+        # statically; each head's [TN, L, L] fp32 scores live in VMEM only.
+        outs = []
+        for i in range(num_heads):
+            qi = q[:, :, i * d : (i + 1) * d]
+            ki = k[:, :, i * d : (i + 1) * d]
+            vi = v[:, :, i * d : (i + 1) * d]
+            scores = jax.lax.dot_general(
+                qi, ki,
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # [TN, L, S]
+            scores = scores * scale + bias
+            probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+            outs.append(
+                jax.lax.dot_general(
+                    probs, vi,
+                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                ).astype(x.dtype)
+            )  # [TN, L, D]
+        out = jnp.concatenate(outs, axis=-1).reshape(tn * l, c)
         out_ref[:] = dot(out, wo_ref, bo_ref).reshape(tn, l, c).astype(out_dtype)
 
     return kernel

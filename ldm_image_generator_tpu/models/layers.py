@@ -368,9 +368,10 @@ class SwinBlock(nn.Module):
     # skip at apply time; params are still created so checkpoints and
     # param trees stay identical (used by benchmarks/ablate.py)
     ablate_branches: Optional[Sequence[str]] = None
-    # 'auto': Pallas fused attention for deterministic (inference) calls on
-    # TPU, XLA otherwise; 'pallas'/'xla' force (fused is differentiable via
-    # an XLA-recompute VJP, so 'pallas' is safe for training too)
+    # 'pallas' opts into the fused Pallas window-attention kernel (correct
+    # and differentiable via an XLA-recompute VJP, but measured ~13% slower
+    # than XLA's lowering at the default 36-token windows — see
+    # kernels/window_attention.py); 'auto'/'xla' use the XLA path.
     attention_backend: str = "auto"
     dtype: Dtype = jnp.float32
 
@@ -412,9 +413,7 @@ class SwinBlock(nn.Module):
         else:
             _ = conv(h[:, :3, :3, :])
         if self.attention:
-            use_fused = self.attention_backend == "pallas" or (
-                self.attention_backend == "auto" and deterministic
-            )
+            use_fused = self.attention_backend == "pallas"
             wattn = WindowAttention(
                 c,
                 heads,
