@@ -40,6 +40,9 @@ class UNetConfig:
     # 'pallas' opts into the fused Pallas window-attention kernel;
     # 'auto'/'xla' use XLA's lowering (faster at the default window size).
     attention_backend: str = "auto"
+    # Rematerialize stages in backward (jax.checkpoint): trades recompute
+    # for activation memory — enables large-batch training in 16GB HBM.
+    remat: bool = False
 
     def tiny(self) -> "UNetConfig":
         return dataclasses.replace(

@@ -60,7 +60,14 @@ class UNet(nn.Module):
             dtype=self.dtype, name="encoder_first",
         )(x)
 
-        stack = lambda i, attn, name: SwinStack(
+        # cfg.remat: rematerialize each stage in backward (jax.checkpoint)
+        # — trades recompute FLOPs for activation memory so large batches
+        # fit HBM (args x=0, t=1, cond=2 are arrays; deterministic is the
+        # static python bool at arg index 4, counting self)
+        stack_cls = (
+            nn.remat(SwinStack, static_argnums=(4,)) if cfg.remat else SwinStack
+        )
+        stack = lambda i, attn, name: stack_cls(
             chs[i],
             num_blocks=stages[i],
             head_dim=cfg.head_dim,

@@ -109,3 +109,40 @@ def test_grad_accumulation_multisteps():
     state, _ = step(state, x, jax.random.PRNGKey(2))
     p2 = flat(state.params)
     assert not np.allclose(p1, p2)  # second micro-step applies the update
+
+
+def test_remat_training_matches_no_remat():
+    """cfg.remat changes memory behavior, not numerics."""
+    import dataclasses
+
+    base = UNetConfig(input_channels=2, stages=(1, 1), channels=(16, 32),
+                      stochastic_depth=0.0)
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (2, 8, 8, 2))
+    t = jnp.zeros((2,), jnp.int32)
+    schedule = make_schedule(DDPMConfig(num_timesteps=50))
+
+    losses = {}
+    grads = {}
+    for name, cfg in [("plain", base),
+                      ("remat", dataclasses.replace(base, remat=True))]:
+        unet = UNet(cfg)
+        params = unet.init({"params": key, "moe": key, "sd": key}, x, t)
+
+        def loss_fn(p):
+            def denoise(xt, tt, k):
+                return unet.apply(p, xt, tt, deterministic=True,
+                                  rngs={"moe": jax.random.PRNGKey(9)})
+
+            from ldm_image_generator_tpu.diffusion import ddpm_loss
+
+            return ddpm_loss(denoise, schedule, x, jax.random.PRNGKey(1))
+
+        losses[name], grads[name] = jax.value_and_grad(loss_fn)(params)
+
+    np.testing.assert_allclose(float(losses["plain"]), float(losses["remat"]),
+                               rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(grads["plain"]),
+                    jax.tree.leaves(grads["remat"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
