@@ -46,9 +46,22 @@ def _find_images(source_dirs: Sequence[str]) -> List[str]:
     return paths
 
 
-def preprocess_image(path: str, size: int) -> np.ndarray:
-    """PIL load -> aspect-preserving NEAREST resize (+blur when
-    downscaling) -> centered black square pad -> float32 NHWC in [-1, 1]."""
+def preprocess_image(path: str, size: int,
+                     use_native: bool = True) -> np.ndarray:
+    """Decode -> aspect-preserving NEAREST resize (+blur when downscaling)
+    -> centered black square pad -> float32 NHWC in [-1, 1].
+
+    Uses the C++ pipeline (data/native_loader.py, GIL-free) when built;
+    falls back to PIL with identical semantics."""
+    if use_native:
+        from ldm_image_generator_tpu.data.native_loader import (
+            preprocess_image_native,
+        )
+
+        arr = preprocess_image_native(path, size)
+        if arr is not None:
+            return arr
+
     from PIL import Image, ImageFilter, ImageFile
 
     ImageFile.LOAD_TRUNCATED_IMAGES = True

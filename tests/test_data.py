@@ -78,3 +78,50 @@ def test_batch_loader_shapes_and_epoch(imgdir, tmp_path):
     assert len(batches) == 2  # 5 items, drop_last
     assert all(b.shape == (2, 8, 8, 3) for b in batches)
     assert len(loader) == 2
+
+
+def test_native_pipeline_matches_pil(imgdir):
+    """C++ decode+preprocess vs the PIL fallback: same geometry, same
+    normalization; pixel values match closely (resize rounding only)."""
+    from ldm_image_generator_tpu.data import native_loader
+    from ldm_image_generator_tpu.data.dataset import preprocess_image
+
+    if not native_loader.available():
+        pytest.skip("native library not built")
+
+    path = str(imgdir / "0.jpg")
+    nat = native_loader.preprocess_image_native(path, 16)
+    pil = preprocess_image(path, 16, use_native=False)
+    assert nat.shape == pil.shape == (16, 16, 3)
+    assert nat.dtype == np.float32
+    # padding rows identical (exact -1)
+    np.testing.assert_array_equal(nat[0], pil[0])
+    # content: same pixels up to resize/blur rounding differences
+    diff = np.abs(nat - pil)
+    assert float(np.mean(diff)) < 0.08, float(np.mean(diff))
+
+
+def test_native_pipeline_png(imgdir, tmp_path):
+    from PIL import Image
+
+    from ldm_image_generator_tpu.data import native_loader
+
+    if not native_loader.available():
+        pytest.skip("native library not built")
+    rng = np.random.RandomState(3)
+    arr = (rng.rand(10, 12, 3) * 255).astype(np.uint8)
+    p = tmp_path / "x.png"
+    Image.fromarray(arr).save(p)
+    out = native_loader.preprocess_image_native(str(p), 8)
+    assert out is not None and out.shape == (8, 8, 3)
+    assert out.min() >= -1.0 and out.max() <= 1.0
+
+
+def test_native_pipeline_corrupt_returns_none(tmp_path):
+    from ldm_image_generator_tpu.data import native_loader
+
+    if not native_loader.available():
+        pytest.skip("native library not built")
+    p = tmp_path / "bad.jpg"
+    p.write_bytes(b"\xff\xd8 garbage not a real jpeg")
+    assert native_loader.preprocess_image_native(str(p), 8) is None
