@@ -74,11 +74,19 @@ class DDPM:
         num_steps: int = 20,
         schedule: "str | Sequence[int]" = "linear",
         eta: float = 0.0,
+        guidance_scale: float = 1.0,
         params=None,
         key: Optional[jax.Array] = None,
     ):
         """Reference DDPM.sample (ddpm.py:52-93): NHWC x_shape, linear or
-        explicit step schedule, eta-DDIM; seed maps to a PRNG key."""
+        explicit step schedule, eta-DDIM; seed maps to a PRNG key.
+
+        guidance_scale enables classifier-free guidance when a condition
+        is given: eps = eps_uncond + s * (eps_cond - eps_uncond). The
+        reference stores CFG bounds but never implements guidance
+        (ddpm.py:24-25, sample hardcodes condition=None at ddpm.py:78);
+        here it works.
+        """
         params = params if params is not None else self.params
         if key is None:
             key = jax.random.PRNGKey(0 if seed is None else seed)
@@ -88,8 +96,22 @@ class DDPM:
                 raise NotImplementedError(f"schedule {schedule!r}")
         else:
             steps = list(schedule)
+
+        if condition is not None and guidance_scale != 1.0:
+            cond_fn = self._denoise_fn(params, condition, deterministic=True)
+            uncond_fn = self._denoise_fn(params, None, deterministic=True)
+
+            def denoise(x, t, k):
+                # same key for both branches: identical MoE routing, so
+                # the guidance delta isolates the conditioning signal
+                eps_c = cond_fn(x, t, k)
+                eps_u = uncond_fn(x, t, k)
+                return eps_u + guidance_scale * (eps_c - eps_u)
+
+        else:
+            denoise = self._denoise_fn(params, condition, deterministic=True)
+
         return ddim_sample(
-            self._denoise_fn(params, condition, deterministic=True),
-            self.schedule, key, x_shape, num_steps=num_steps, eta=eta,
-            steps=steps,
+            denoise, self.schedule, key, x_shape, num_steps=num_steps,
+            eta=eta, steps=steps,
         )
