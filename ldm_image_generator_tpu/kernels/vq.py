@@ -33,16 +33,23 @@ def nearest_codebook_indices_xla(x: jnp.ndarray, codebook: jnp.ndarray
 
 
 def _vq_kernel(x_ref, e_ref, e_sq_ref, out_ref):
-    from jax.experimental import pallas as pl  # noqa: F401
-
     x = x_ref[:].astype(jnp.float32)              # [TN, D]
     e = e_ref[:].astype(jnp.float32)              # [K, D]
     # scores tile stays in VMEM: [TN, K]
     dots = jax.lax.dot_general(
         x, e, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    scores = e_sq_ref[:].reshape(1, -1) - 2.0 * dots
-    out_ref[:] = jnp.argmin(scores, axis=-1).astype(jnp.int32)
+    scores = e_sq_ref[:] - 2.0 * dots  # e_sq_ref is [1, K]
+    # manual argmin (first occurrence): Mosaic can't legalize jnp.argmin's
+    # f32->i32 vector materialization, so reduce min then select the
+    # smallest column index attaining it
+    k = scores.shape[-1]
+    minval = jnp.min(scores, axis=-1, keepdims=True)
+    col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    idx = jnp.min(jnp.where(scores == minval, col, k), axis=-1)
+    # output is [1, TN] (indices on the lane axis: 1-D int32 outputs trip
+    # an XLA/Mosaic layout mismatch on real hardware)
+    out_ref[0, :] = idx.astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -61,19 +68,19 @@ def nearest_codebook_indices_pallas(x: jnp.ndarray, codebook: jnp.ndarray,
     grid = (np_total // TILE_N,)
     out = pl.pallas_call(
         _vq_kernel,
-        out_shape=jax.ShapeDtypeStruct((np_total,), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((1, np_total), jnp.int32),
         grid=grid,
         in_specs=[
             pl.BlockSpec((TILE_N, d), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((k, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TILE_N,), lambda i: (i,),
+        out_specs=pl.BlockSpec((1, TILE_N), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(xp, codebook, e_sq)
-    return out[:n]
+    )(xp, codebook, e_sq.reshape(1, k))
+    return out[0, :n]
 
 
 def nearest_codebook_indices(x: jnp.ndarray, codebook: jnp.ndarray
