@@ -4,4 +4,5 @@ from ldm_image_generator_tpu.parallel.mesh import (  # noqa: F401
     param_shardings,
     replicated,
     shard_params,
+    spatial_sharding,
 )

@@ -54,6 +54,17 @@ def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
     return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
 
 
+def spatial_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:
+    """Sequence-parallel analogue for images (SURVEY.md §5 long-context
+    row): batch over 'data' AND image height over 'model'. XLA GSPMD
+    inserts the halo exchanges the 3x3 convs / shifted windows need —
+    verified vs single-device numerics in tests/test_parallel.py. Use
+    when one image's activations exceed a chip (high-resolution
+    training/sampling)."""
+    assert ndim >= 3
+    return NamedSharding(mesh, P("data", "model", *([None] * (ndim - 2))))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

@@ -15,6 +15,7 @@ from ldm_image_generator_tpu.parallel import (
     make_mesh,
     param_shardings,
     shard_params,
+    spatial_sharding,
 )
 from ldm_image_generator_tpu.train import (
     LDMTrainState,
@@ -106,3 +107,31 @@ def test_sampling_under_mesh():
         )(jax.random.PRNGKey(0))
     assert out.shape == (8, 8, 8, 4)
     assert bool(jnp.isfinite(out).all())
+
+
+def test_dp_sp_train_step_matches_single_device():
+    """Spatial sharding (image H over 'model', GSPMD halo exchange) ==
+    single-device numerics."""
+    cfg = UNetConfig(input_channels=4, stages=(1, 1), channels=(32, 256),
+                     stochastic_depth=0.0)
+    unet, params, x = _build(cfg, batch=4)
+    # 16x16 map so H shards 4-way
+    x = jax.random.normal(jax.random.PRNGKey(5), (4, 16, 16, 4))
+    schedule = make_schedule(DDPMConfig(num_timesteps=50))
+    tx = make_optimizer("adamw", 1e-3)
+
+    def make_state(p):
+        return LDMTrainState(
+            params=p, opt_state=tx.init(p), step=jnp.zeros((), jnp.int32)
+        )
+
+    step = make_ldm_train_step(unet, schedule, tx, stochastic_depth=False)
+    s0, m0 = jax.jit(step)(make_state(params), x, jax.random.PRNGKey(1))
+
+    mesh = make_mesh(8, model_parallel=4)  # dp=2 x sp=4
+    x_sp = jax.device_put(x, spatial_sharding(mesh, x.ndim))
+    p_rep = jax.device_put(params, NamedSharding(mesh, P()))
+    with jax.sharding.set_mesh(mesh):
+        s1, m1 = jax.jit(step)(make_state(p_rep), x_sp, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(float(m0["loss"]), float(m1["loss"]),
+                               rtol=1e-4)
