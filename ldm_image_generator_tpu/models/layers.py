@@ -93,9 +93,17 @@ class MultiHeadAttention(nn.Module):
                 q_in.astype(dt), key_padding_mask, *weights, num_heads=h
             )
 
-        q = q_in.astype(dt) @ weights[0] + weights[1]
-        k = kv_in.astype(dt) @ weights[2] + weights[3]
-        v = kv_in.astype(dt) @ weights[4] + weights[5]
+        if q_in is kv_in:
+            # pack qkv into one MXU matmul (the concat is loop-invariant
+            # and hoisted out of sampling scans)
+            wqkv = jnp.concatenate([weights[0], weights[2], weights[4]], axis=1)
+            bqkv = jnp.concatenate([weights[1], weights[3], weights[5]])
+            q, k, v = jnp.split(q_in.astype(dt) @ wqkv + bqkv, 3, axis=-1)
+        else:
+            q = q_in.astype(dt) @ weights[0] + weights[1]
+            wkv = jnp.concatenate([weights[2], weights[4]], axis=1)
+            bkv = jnp.concatenate([weights[3], weights[5]])
+            k, v = jnp.split(kv_in.astype(dt) @ wkv + bkv, 2, axis=-1)
         b, l, _ = q.shape
         s = k.shape[1]
         q = q.reshape(b, l, h, d)
