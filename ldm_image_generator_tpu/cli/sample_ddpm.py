@@ -23,6 +23,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-t", "--timesteps", default=20, type=int)
     p.add_argument("--seed", default=0, type=int)
     p.add_argument("--eta", default=0.0, type=float)
+    p.add_argument("--sampler", default="ddim", choices=["ddim", "dpm++2m"],
+                   help="dpm++2m: 2nd-order solver, ~half the steps for "
+                        "DDIM-20 quality")
     p.add_argument("-o", "--outdir", default="./ddpm_outputs/")
     p.add_argument("--config", default="default", choices=["default", "tiny"],
                    help="model size preset (tiny = test/debug scale)")
@@ -60,7 +63,8 @@ def main(argv=None):
         # per-image seed (sample_ddpm.py:36)
         img = pipe.sample(params, jax.random.PRNGKey(args.seed + i),
                           batch=1, image_size=args.size,
-                          num_steps=args.timesteps, eta=args.eta)
+                          num_steps=args.timesteps, eta=args.eta,
+                          sampler=args.sampler)
         save_image(jax.device_get(img)[0],
                    os.path.join(args.outdir, f"{i}.jpg"))
     print(f"saved {args.numimages} images to {args.outdir}")

@@ -7,3 +7,4 @@ from ldm_image_generator_tpu.diffusion.ddpm import (  # noqa: F401
     q_sample,
 )
 from ldm_image_generator_tpu.diffusion.engine import DDPM  # noqa: F401
+from ldm_image_generator_tpu.diffusion.dpm_solver import dpm_solver_sample  # noqa: F401

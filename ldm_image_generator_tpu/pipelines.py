@@ -23,6 +23,7 @@ from ldm_image_generator_tpu.config import (
     VAEConfig,
 )
 from ldm_image_generator_tpu.diffusion import ddim_sample, make_schedule
+from ldm_image_generator_tpu.diffusion.dpm_solver import dpm_solver_sample
 from ldm_image_generator_tpu.models import Decoder, UNet
 
 
@@ -65,7 +66,7 @@ class LDMPipeline:
         self.unet_cfg = unet_cfg
         self.vae_cfg = vae_cfg
 
-    @functools.partial(jax.jit, static_argnums=(0, 4, 5, 6, 7))
+    @functools.partial(jax.jit, static_argnums=(0, 4, 5, 6, 7, 8))
     def sample(
         self,
         unet_params,
@@ -75,8 +76,12 @@ class LDMPipeline:
         image_size: int = 256,
         num_steps: int = 20,
         eta: float = 0.0,
+        sampler: str = "ddim",
     ) -> jnp.ndarray:
-        """Returns uint8 images [batch, image_size, image_size, 3]."""
+        """Returns uint8 images [batch, image_size, image_size, 3].
+
+        sampler: 'ddim' (reference semantics) or 'dpm++2m' (second-order
+        multistep — DDIM-20 quality in ~10 steps)."""
         latent = image_size // self.vae_cfg.downscale
         shape = (batch, latent, latent, self.unet_cfg.input_channels)
         unet_params = cast_floating(unet_params, self.unet.dtype)
@@ -87,9 +92,15 @@ class LDMPipeline:
                 unet_params, x, t_vec, deterministic=True, rngs={"moe": k}
             ).astype(jnp.float32)
 
-        z = ddim_sample(
-            denoise, self.schedule, key, shape, num_steps=num_steps, eta=eta
-        )
+        if sampler == "dpm++2m":
+            z = dpm_solver_sample(
+                denoise, self.schedule, key, shape, num_steps=num_steps
+            )
+        else:
+            z = ddim_sample(
+                denoise, self.schedule, key, shape, num_steps=num_steps,
+                eta=eta,
+            )
         img = self.decoder.apply(decoder_params, z)
         return to_uint8(img)
 
@@ -109,7 +120,7 @@ class DDPMPipeline:
         self.unet = UNet(self.unet_cfg, dtype=dtype)
         self.schedule = make_schedule(ddpm_cfg)
 
-    @functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6))
+    @functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6, 7))
     def sample(
         self,
         unet_params,
@@ -118,6 +129,7 @@ class DDPMPipeline:
         image_size: int = 32,
         num_steps: int = 20,
         eta: float = 0.0,
+        sampler: str = "ddim",
     ) -> jnp.ndarray:
         shape = (batch, image_size, image_size, self.unet_cfg.input_channels)
         unet_params = cast_floating(unet_params, self.unet.dtype)
@@ -127,7 +139,13 @@ class DDPMPipeline:
                 unet_params, x, t_vec, deterministic=True, rngs={"moe": k}
             ).astype(jnp.float32)
 
-        x = ddim_sample(
-            denoise, self.schedule, key, shape, num_steps=num_steps, eta=eta
-        )
+        if sampler == "dpm++2m":
+            x = dpm_solver_sample(
+                denoise, self.schedule, key, shape, num_steps=num_steps
+            )
+        else:
+            x = ddim_sample(
+                denoise, self.schedule, key, shape, num_steps=num_steps,
+                eta=eta,
+            )
         return to_uint8(x)

@@ -57,3 +57,19 @@ def test_to_uint8_range():
     x = jnp.array([[-2.0, -1.0, 0.0, 1.0, 2.0]])
     out = np.asarray(to_uint8(x))
     np.testing.assert_array_equal(out, [[0, 0, 127, 255, 255]])
+
+
+def test_ldm_pipeline_dpm_solver():
+    pipe = _tiny_ldm()
+    key = jax.random.PRNGKey(0)
+    latent = 16 // pipe.vae_cfg.downscale
+    z = jnp.zeros((1, latent, latent, 8))
+    up = pipe.unet.init({"params": key, "moe": key}, z,
+                        jnp.zeros((1,), jnp.int32))
+    dp = pipe.decoder.init(key, z)
+    img = pipe.sample(up, dp, jax.random.PRNGKey(1), batch=2, image_size=16,
+                      num_steps=5, sampler="dpm++2m")
+    assert img.shape == (2, 16, 16, 3) and img.dtype == jnp.uint8
+    ddim = pipe.sample(up, dp, jax.random.PRNGKey(1), batch=2, image_size=16,
+                       num_steps=5, sampler="ddim")
+    assert not np.array_equal(np.asarray(img), np.asarray(ddim))
