@@ -124,12 +124,14 @@ def ddim_sample(
     eta: float = 0.0,
     steps: Optional[Sequence[int]] = None,
     dtype=jnp.float32,
+    init_noise: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """DDIM reverse sampler as one lax.scan (ddpm.py:52-93, jitted whole).
 
     denoise_fn(x, t_vec, key) -> eps_hat with t_vec: [B] int32 (raw
     timestep indices, as the reference feeds TimeEncoding2d).
-    Returns x0-space samples of shape x_shape.
+    init_noise overrides the internally drawn x_T (fidelity tests /
+    reproducing a specific trajectory). Returns x0-space samples.
     """
     ts, ts_next = ddim_step_pairs(schedule.num_timesteps, num_steps, steps)
     ts = jnp.asarray(ts)
@@ -137,7 +139,10 @@ def ddim_sample(
     alpha_bar = schedule.alpha_bar
 
     key, init_key = jax.random.split(key)
-    x = jax.random.normal(init_key, x_shape, dtype=dtype)
+    if init_noise is None:
+        x = jax.random.normal(init_key, x_shape, dtype=dtype)
+    else:
+        x = init_noise.astype(dtype)
     b = x_shape[0]
 
     def body(carry, step):
