@@ -69,34 +69,51 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def _kernel_spec(path_leaf: str, shape, model_size: int) -> P:
+def _kernel_spec(path_leaf: str, shape, model_size: int,
+                 expert_parallel: bool) -> P:
     """Decide the PartitionSpec for one param leaf.
 
-    Kernels (Dense [in, out], Conv [kh, kw, in, out], stacked MoE
-    [E, in, out]) are sharded on their trailing (output-feature) axis over
-    'model' when divisible and large; biases and small tensors replicate.
+    Default (TP): kernels (Dense [in, out], Conv [kh, kw, in, out],
+    stacked MoE [E, in, out]) shard their trailing (output-feature) axis
+    over 'model' when divisible and large.
+    expert_parallel (EP): 3-D stacked expert tensors ([E, in, out], the
+    RandomMoE wa/wb/wc) shard the EXPERT axis over 'model' instead —
+    expert weights live distributed and XLA gathers the two selected
+    experts' slices per step.
+    Biases and small tensors replicate.
     """
     if model_size <= 1 or len(shape) < 2:
         return P()
+    if (
+        expert_parallel
+        and len(shape) == 3
+        and shape[0] >= model_size
+        and shape[0] % model_size == 0
+        and path_leaf in ("wa", "wb", "wc")
+    ):
+        return P("model", None, None)
     out_features = shape[-1]
     if out_features % model_size != 0 or out_features < MIN_TP_FEATURES:
         return P()
     return P(*([None] * (len(shape) - 1)), "model")
 
 
-def param_shardings(params: Any, mesh: Mesh) -> Any:
-    """NamedSharding tree for a param pytree (TP on big kernels)."""
+def param_shardings(params: Any, mesh: Mesh,
+                    expert_parallel: bool = False) -> Any:
+    """NamedSharding tree for a param pytree (TP on big kernels; EP on
+    stacked expert tensors when expert_parallel=True)."""
     model_size = mesh.shape["model"]
 
     def leaf(path, x):
         name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
-        spec = _kernel_spec(name, x.shape, model_size)
+        spec = _kernel_spec(name, x.shape, model_size, expert_parallel)
         return NamedSharding(mesh, spec)
 
     return jax.tree_util.tree_map_with_path(leaf, params)
 
 
-def shard_params(params: Any, mesh: Mesh) -> Any:
+def shard_params(params: Any, mesh: Mesh,
+                 expert_parallel: bool = False) -> Any:
     """Place a param pytree onto the mesh per param_shardings."""
-    shardings = param_shardings(params, mesh)
+    shardings = param_shardings(params, mesh, expert_parallel)
     return jax.tree.map(jax.device_put, params, shardings)

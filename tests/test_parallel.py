@@ -135,3 +135,36 @@ def test_dp_sp_train_step_matches_single_device():
         s1, m1 = jax.jit(step)(make_state(p_rep), x_sp, jax.random.PRNGKey(1))
     np.testing.assert_allclose(float(m0["loss"]), float(m1["loss"]),
                                rtol=1e-4)
+
+
+def test_dp_ep_train_step_matches_single_device():
+    """Expert-parallel sharding (MoE expert axis over 'model') matches
+    single-device numerics; XLA gathers the selected experts' slices."""
+    cfg = UNetConfig(input_channels=4, stages=(1, 1), channels=(32, 256),
+                     stochastic_depth=0.0)
+    unet, params, x = _build(cfg, batch=8)
+    schedule = make_schedule(DDPMConfig(num_timesteps=50))
+    tx = make_optimizer("adamw", 1e-3)
+
+    def make_state(p):
+        return LDMTrainState(
+            params=p, opt_state=tx.init(p), step=jnp.zeros((), jnp.int32)
+        )
+
+    step = make_ldm_train_step(unet, schedule, tx, stochastic_depth=False)
+    s0, m0 = jax.jit(step)(make_state(params), x, jax.random.PRNGKey(1))
+
+    mesh = make_mesh(8, model_parallel=2)  # dp=4 x ep=2
+    sharded = shard_params(params, mesh, expert_parallel=True)
+    # check an expert stack actually got expert-axis sharded
+    from ldm_image_generator_tpu.parallel import param_shardings
+
+    sh = param_shardings(params, mesh, expert_parallel=True)
+    specs = [s.spec for s in jax.tree.leaves(sh)]
+    assert any(s and s[0] == "model" for s in specs), specs
+
+    x_sh = jax.device_put(x, batch_sharding(mesh, x.ndim))
+    with jax.sharding.set_mesh(mesh):
+        s1, m1 = jax.jit(step)(make_state(sharded), x_sh, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(float(m0["loss"]), float(m1["loss"]),
+                               rtol=1e-4)
