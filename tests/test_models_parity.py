@@ -127,3 +127,31 @@ def test_unet_param_count_matches_reference_default():
     )
     n = sum(int(np.prod(l.shape)) for l in jax.tree.leaves(params))
     assert abs(n - 385_700_000) / 385_700_000 < 0.01, n
+
+
+def test_discriminator_feature_matching_matches_reference():
+    """calclate_logit_and_feature_matching parity (vae.py:148-161) — the
+    reference defines it but never calls it; ours is functional."""
+    vae_ref = import_reference("vae")
+    import torch
+
+    torch.manual_seed(5)
+    ref = vae_ref.Discriminator().eval()
+    fake = torch.randn(2, 3, 16, 16)
+    real = torch.randn(2, 3, 16, 16)
+    with torch.no_grad():
+        ref_logit, ref_feat = ref.calclate_logit_and_feature_matching(
+            fake.clone(), real.clone())
+
+    from ldm_image_generator_tpu.models.vae import feature_matching_loss
+
+    params = ti.convert_discriminator(ref.state_dict())
+    d = Discriminator()
+    logit_f, feats_f = d.apply(params, jnp.asarray(to_nhwc(fake)),
+                               features=True)
+    _, feats_r = d.apply(params, jnp.asarray(to_nhwc(real)), features=True)
+    fm = feature_matching_loss(feats_f, feats_r)
+    np.testing.assert_allclose(float(logit_f), float(ref_logit),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(float(fm), float(ref_feat),
+                               rtol=1e-4, atol=1e-5)
