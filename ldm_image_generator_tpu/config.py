@@ -40,6 +40,9 @@ class UNetConfig:
     # 'pallas' opts into the fused Pallas window-attention kernel;
     # 'auto'/'xla' use XLA's lowering (faster at the default window size).
     attention_backend: str = "auto"
+    # 'auto'/'pallas': fused channel_norm+FiLM+MoE-FFN Pallas kernel per
+    # block on TPU (kernels/ffn_block.py, -18% denoise step); 'xla' off.
+    ffn_backend: str = "auto"
     # Rematerialize stages in backward (jax.checkpoint): trades recompute
     # for activation memory — enables large-batch training in 16GB HBM.
     remat: bool = False

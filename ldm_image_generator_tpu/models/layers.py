@@ -225,28 +225,79 @@ class RandomMoE(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, expert_indices: Optional[jnp.ndarray] = None):
+    def __call__(
+        self,
+        x,
+        expert_indices: Optional[jnp.ndarray] = None,
+        film_mul: Optional[jnp.ndarray] = None,
+        film_bias: Optional[jnp.ndarray] = None,
+    ):
+        """Standard call: x is the (already normalized + FiLMed) input,
+        returns general(x) + e_i(x) + e_j(x).
+
+        Fused call (film_mul/film_bias given): x is the RAW block input;
+        channel_norm + FiLM + the three ReGLUs run as one Pallas kernel
+        on TPU (kernels/ffn_block.py); returns (ffn_out, h) where h is
+        the normalized+FiLMed activation for the sibling branches.
+        """
         if expert_indices is None and self.fixed_expert_indices is not None:
             expert_indices = jnp.asarray(self.fixed_expert_indices)
         c = self.channels
         hid = c * self.ffn_mul
         e = self.num_experts
         init = nn.initializers.lecun_normal(batch_axis=(0,))
+        init2 = nn.initializers.lecun_normal()
+        zeros = nn.initializers.zeros
         wa = self.param("wa", init, (e, c, hid))
         wb = self.param("wb", init, (e, c, hid))
         wc = self.param("wc", init, (e, hid, c))
-        zeros = nn.initializers.zeros
         ba = self.param("ba", zeros, (e, hid))
         bb = self.param("bb", zeros, (e, hid))
         bc = self.param("bc", zeros, (e, c))
+        # the 'general' ReGLU owns its params directly so the fused kernel
+        # can consume them (modules.py:31 general expert)
+        gwa = self.param("gwa", init2, (c, hid))
+        gwb = self.param("gwb", init2, (c, hid))
+        gwc = self.param("gwc", init2, (hid, c))
+        gba = self.param("gba", zeros, (hid,))
+        gbb = self.param("gbb", zeros, (hid,))
+        gbc = self.param("gbc", zeros, (c,))
 
         dt = self.dtype
+        pairs = [(i, j) for i in range(e) for j in range(i + 1, e)]
 
-        def expert(x, ei):
+        if film_mul is not None:
+            # fused path (norm + FiLM + FFN)
+            from ldm_image_generator_tpu.kernels.ffn_block import ffn_block
+
+            if expert_indices is None:
+                rng = self.make_rng("moe")
+                pair_id = jax.random.randint(rng, (), 0, len(pairs))
+                pair_table = jnp.asarray(pairs, dtype=jnp.int32)
+                expert_indices = pair_table[pair_id]
+            b, hh, ww, _ = x.shape
+            flat = lambda v: jnp.broadcast_to(v, x.shape).reshape(-1, c)
+            cast = lambda w: w.astype(dt)
+            out, h = ffn_block(
+                x.reshape(-1, c).astype(dt), flat(film_mul.astype(dt)),
+                flat(film_bias.astype(dt)),
+                cast(gwa), cast(gba), cast(gwb), cast(gbb), cast(gwc),
+                cast(gbc), cast(wa), cast(ba), cast(wb), cast(bb),
+                cast(wc), cast(bc),
+                jnp.asarray(expert_indices, dtype=jnp.int32),
+            )
+            return out.reshape(x.shape), h.reshape(x.shape)
+
+        def general(v):
+            ga = v @ gwa.astype(dt) + gba.astype(dt)
+            gb = v @ gwb.astype(dt) + gbb.astype(dt)
+            return (ga * jax.nn.relu(gb)) @ gwc.astype(dt) + gbc.astype(dt)
+
+        def expert(v, ei):
             # static expert index: reads exactly that expert's weight
             # slices from the stacked tensors, no dynamic-gather copies
-            ha = x @ wa[ei].astype(dt) + ba[ei].astype(dt)
-            hb = x @ wb[ei].astype(dt) + bb[ei].astype(dt)
+            ha = v @ wa[ei].astype(dt) + ba[ei].astype(dt)
+            hb = v @ wb[ei].astype(dt) + bb[ei].astype(dt)
             return (ha * jax.nn.relu(hb)) @ wc[ei].astype(dt) + bc[ei].astype(dt)
 
         if expert_indices is None and self.experts_per_call != 2:
@@ -276,11 +327,6 @@ class RandomMoE(nn.Module):
             # unlike a dynamic gather — no weight copies are materialized
             # per call (a gather cost ~190MB of HBM traffic per denoise
             # step on the default UNet)
-            pairs = [
-                (i, j)
-                for i in range(e)
-                for j in range(i + 1, e)
-            ]
             rng = self.make_rng("moe")
             pair_id = jax.random.randint(rng, (), 0, len(pairs))
             out = jax.lax.switch(
@@ -291,8 +337,7 @@ class RandomMoE(nn.Module):
                 ],
                 x,
             )
-        general = ReGLU(c, self.ffn_mul, dtype=dt, name="general")(x)
-        return general + out
+        return general(x) + out
 
 
 class Encodings(nn.Module):
@@ -304,7 +349,7 @@ class Encodings(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, t):
+    def __call__(self, x, t, return_film: bool = False):
         b, h, w, c = x.shape
         # The FiLM MLP input depends only on (h, w) and t — not on x — so
         # it is evaluated at the *time* batch size bt = t.shape[0] and
@@ -324,6 +369,8 @@ class Encodings(nn.Module):
         embs = nn.Dense(c * 4, dtype=self.dtype, name="proj1")(embs)
         embs = nn.Dense(c * 2, dtype=self.dtype, name="proj2")(jax.nn.relu(embs))
         mul, bias = jnp.split(embs, 2, axis=-1)
+        if return_film:
+            return mul, bias  # [bt, h, w, c] each, for the fused FFN path
         return x * mul + bias
 
 
@@ -414,6 +461,10 @@ class SwinBlock(nn.Module):
     # than XLA's lowering at the default 36-token windows — see
     # kernels/window_attention.py); 'auto'/'xla' use the XLA path.
     attention_backend: str = "auto"
+    # 'auto'/'pallas': fuse channel_norm + FiLM + MoE FFN into one Pallas
+    # kernel (kernels/ffn_block.py) on TPU when shapes allow — measured
+    # -18% full-model denoise step time; 'xla' composes in XLA.
+    ffn_backend: str = "auto"
     dtype: Dtype = jnp.float32
 
     def _on(self, name: str) -> bool:
@@ -426,23 +477,36 @@ class SwinBlock(nn.Module):
         # reference would divide by zero here, unet.py:30)
         heads = max(1, c // self.head_dim)
         res = x
-        h = channel_norm(x) if self._on("norm") else x
         enc = Encodings(c, dtype=self.dtype, name="encodings")
-        if self._on("film"):
-            h = enc(h, t)
-        else:
-            _ = enc(h[:, :1, :1, :], t)  # param creation only
         moe = RandomMoE(
             c,
             fixed_expert_indices=self.fixed_expert_indices,
             dtype=self.dtype,
             name="ffn",
         )
-        if self._on("moe"):
-            branch = moe(h)
+        fuse_ffn = (
+            self.ffn_backend in ("pallas", "auto")
+            and self._on("norm") and self._on("film") and self._on("moe")
+            and jax.default_backend() in ("tpu", "axon")
+            # kernel keeps 9 [C, C] weight mats resident in VMEM; larger
+            # stages (C=1024) stay on the XLA switch path
+            and c % 128 == 0
+            and 9 * c * c * 2 <= 10 * 1024 * 1024
+        )
+        if fuse_ffn:
+            mul, bias = enc(x, t, return_film=True)
+            branch, h = moe(x, film_mul=mul, film_bias=bias)
         else:
-            _ = moe(h[:, :1, :1, :])
-            branch = jnp.zeros_like(h)
+            h = channel_norm(x) if self._on("norm") else x
+            if self._on("film"):
+                h = enc(h, t)
+            else:
+                _ = enc(h[:, :1, :1, :], t)  # param creation only
+            if self._on("moe"):
+                branch = moe(h)
+            else:
+                _ = moe(h[:, :1, :1, :])
+                branch = jnp.zeros_like(h)
         conv = GroupedConv2d(
             c,
             group_width=min(self.head_dim, c),
@@ -504,6 +568,7 @@ class SwinStack(nn.Module):
     fixed_expert_indices: Optional[Sequence[int]] = None
     ablate_branches: Optional[Sequence[str]] = None
     attention_backend: str = "auto"
+    ffn_backend: str = "auto"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -521,6 +586,7 @@ class SwinStack(nn.Module):
                 fixed_expert_indices=self.fixed_expert_indices,
                 ablate_branches=self.ablate_branches,
                 attention_backend=self.attention_backend,
+                ffn_backend=self.ffn_backend,
                 dtype=self.dtype,
                 name=f"block_{i}",
             )(x, t, cond, deterministic=deterministic)

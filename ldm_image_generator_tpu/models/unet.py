@@ -77,6 +77,7 @@ class UNet(nn.Module):
             fixed_expert_indices=cfg.fixed_expert_indices,
             ablate_branches=cfg.ablate_branches,
             attention_backend=cfg.attention_backend,
+            ffn_backend=cfg.ffn_backend,
             dtype=self.dtype,
             name=name,
         )

@@ -158,7 +158,16 @@ def _reglu(sd: Mapping, prefix: str) -> Dict[str, Any]:
 
 
 def _random_moe(sd: Mapping, prefix: str, num_experts: int) -> Dict[str, Any]:
-    p = {"general": _reglu(sd, prefix + ".general")}
+    # the general ReGLU maps to flat gwa/gba/... params (RandomMoE owns
+    # them directly so the fused FFN kernel can consume them)
+    p = {
+        "gwa": dense_from_1x1(sd[prefix + ".general.a.weight"]),
+        "gba": _np(sd[prefix + ".general.a.bias"]),
+        "gwb": dense_from_1x1(sd[prefix + ".general.b.weight"]),
+        "gbb": _np(sd[prefix + ".general.b.bias"]),
+        "gwc": dense_from_1x1(sd[prefix + ".general.c.weight"]),
+        "gbc": _np(sd[prefix + ".general.c.bias"]),
+    }
     wa, wb, wc, ba, bb, bc = [], [], [], [], [], []
     for e in range(num_experts):
         ep = f"{prefix}.experts.{e}"

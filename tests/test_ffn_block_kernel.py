@@ -1,0 +1,66 @@
+"""Fused FFN-block kernel vs its XLA reference (interpret mode)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ldm_image_generator_tpu.kernels.ffn_block import (
+    ffn_block_pallas,
+    ffn_block_xla,
+)
+
+
+def _setup(n=100, c=128, m=128, e=4, seed=0):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 16)
+    r = lambda k, shape, s=0.05: jax.random.normal(k, shape) * s
+    x = jax.random.normal(ks[0], (n, c))
+    mul = jax.random.normal(ks[1], (n, c)) * 0.2 + 1.0
+    bias = r(ks[2], (n, c), 0.2)
+    gwa, gwb = r(ks[3], (c, m)), r(ks[4], (c, m))
+    gwc = r(ks[5], (m, c))
+    gba, gbb, gbc = r(ks[6], (m,)), r(ks[7], (m,)), r(ks[8], (c,))
+    wa, wb = r(ks[9], (e, c, m)), r(ks[10], (e, c, m))
+    wc = r(ks[11], (e, m, c))
+    ba, bb, bc = r(ks[12], (e, m)), r(ks[13], (e, m)), r(ks[14], (e, c))
+    return (x, mul, bias, gwa, gba, gwb, gbb, gwc, gbc,
+            wa, ba, wb, bb, wc, bc)
+
+
+@pytest.mark.parametrize("pair", [(0, 1), (2, 3), (1, 3)])
+def test_ffn_block_kernel_matches_xla(pair):
+    args = _setup()
+    (x, mul, bias, gwa, gba, gwb, gbb, gwc, gbc,
+     wa, ba, wb, bb, wc, bc) = args
+    ref_out, ref_h = ffn_block_xla(x, mul, bias, gwa, gba, gwb, gbb, gwc,
+                                   gbc, wa, ba, wb, bb, wc, bc, *pair)
+    out, h = ffn_block_pallas(x, mul, bias, gwa, gba, gwb, gbb, gwc, gbc,
+                              wa, ba, wb, bb, wc, bc,
+                              jnp.asarray(pair), interpret=True)
+    np.testing.assert_allclose(np.asarray(h), np.asarray(ref_h),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_ffn_block_kernel_matches_swinblock_region():
+    """The XLA reference itself must equal the SwinBlock computation:
+    channel_norm + FiLM + general/expert ReGLUs with the same params."""
+    from ldm_image_generator_tpu.models.layers import RandomMoE
+    from ldm_image_generator_tpu.ops.norm import channel_norm
+
+    args = _setup(n=64, c=32, m=32)
+    (x, mul, bias, gwa, gba, gwb, gbb, gwc, gbc,
+     wa, ba, wb, bb, wc, bc) = args
+    out, h = ffn_block_xla(x, mul, bias, gwa, gba, gwb, gbb, gwc, gbc,
+                           wa, ba, wb, bb, wc, bc, 0, 1)
+
+    params = {"params": {
+        "gwa": gwa, "gba": gba, "gwb": gwb, "gbb": gbb,
+        "gwc": gwc, "gbc": gbc,
+        "wa": wa, "ba": ba, "wb": wb, "bb": bb, "wc": wc, "bc": bc,
+    }}
+    h2 = channel_norm(x) * mul + bias
+    moe = RandomMoE(32, ffn_mul=1, num_experts=4)
+    ref = moe.apply(params, h2[None, None], expert_indices=jnp.asarray([0, 1]))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref[0, 0]),
+                               rtol=2e-4, atol=2e-4)
