@@ -64,3 +64,25 @@ def test_ffn_block_kernel_matches_swinblock_region():
     ref = moe.apply(params, h2[None, None], expert_indices=jnp.asarray([0, 1]))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref[0, 0]),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_ffn_backend_pallas_falls_back_on_cpu():
+    """ffn_backend='pallas' on a CPU backend must cleanly use the XLA
+    composition (dispatcher gates on the backend)."""
+    import dataclasses
+
+    from ldm_image_generator_tpu.config import UNetConfig
+    from ldm_image_generator_tpu.models import UNet
+
+    cfg = dataclasses.replace(
+        UNetConfig(input_channels=4, stages=(1,), channels=(128,)),
+        ffn_backend="pallas",
+    )
+    unet = UNet(cfg)
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (2, 8, 8, 4))
+    t = jnp.zeros((1,), jnp.int32)
+    params = unet.init({"params": key, "moe": key}, x, t)
+    out = unet.apply(params, x, t, rngs={"moe": key})
+    assert out.shape == x.shape
+    assert bool(jnp.isfinite(out).all())
