@@ -30,7 +30,6 @@ class UNetConfig:
     experts_per_call: int = 2
     ffn_mul: int = 1  # MoE expert ReGLU expansion (modules.py:29)
     stochastic_depth: float = 0.25
-    cross_attention: bool = True  # functional (reference's returns None, attention.py:92-99)
     # Deterministic MoE routing for parity tests / debugging; None = random
     # 2-of-num_experts per call (the reference behavior, modules.py:35).
     fixed_expert_indices: "tuple | None" = None

@@ -31,7 +31,7 @@ from __future__ import annotations
 import glob
 import hashlib
 import os
-from typing import List, Optional, Sequence
+from typing import List, Sequence
 
 import numpy as np
 

@@ -30,7 +30,6 @@ path is XLA.
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,7 @@ dimension first-class (the reference hardcodes batch=1, sample_ldm.py:72).
 from __future__ import annotations
 
 import functools
-from typing import Optional, Sequence, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

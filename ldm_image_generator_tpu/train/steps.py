@@ -19,7 +19,7 @@ when a mesh is active (gradient psum inserted by XLA).
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Tuple
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp

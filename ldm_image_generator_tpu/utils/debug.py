@@ -9,7 +9,7 @@ crash-resume from its last periodic save, train_vae.py:72-86).
 from __future__ import annotations
 
 import signal
-from typing import Any, Callable, Iterable
+from typing import Any, Iterable
 
 import jax
 import jax.numpy as jnp

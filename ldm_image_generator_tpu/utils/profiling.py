@@ -21,7 +21,6 @@ import time
 from typing import Callable, Tuple
 
 import jax
-import jax.numpy as jnp
 
 named_scope = jax.named_scope
 

@@ -1,7 +1,6 @@
 """End-to-end CLI tests on a synthetic dataset (tiny preset, CPU):
 train VAE -> train LDM on frozen latents -> sample images; plus the
 pixel-space DDPM path and checkpoint interop."""
-import json
 import os
 
 import numpy as np

@@ -3,7 +3,6 @@ kernel-tier tests; interpret mode on the CPU backend)."""
 import numpy as np
 import jax
 import jax.numpy as jnp
-import pytest
 
 from ldm_image_generator_tpu.kernels.vq import (
     nearest_codebook_indices,

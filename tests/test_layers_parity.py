@@ -15,7 +15,7 @@ from ldm_image_generator_tpu.models.layers import (
 )
 from ldm_image_generator_tpu.utils import torch_import as ti
 
-from tests.reference_util import import_reference, from_nhwc, to_nhwc
+from tests.reference_util import import_reference, to_nhwc
 
 TOL = dict(rtol=2e-4, atol=2e-5)
 

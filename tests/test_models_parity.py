@@ -2,9 +2,8 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
-import pytest
 
-from ldm_image_generator_tpu.config import DiscriminatorConfig, UNetConfig, VAEConfig
+from ldm_image_generator_tpu.config import UNetConfig, VAEConfig
 from ldm_image_generator_tpu.models import (
     Decoder,
     Discriminator,

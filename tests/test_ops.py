@@ -2,7 +2,6 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
-import pytest
 
 from ldm_image_generator_tpu.ops import (
     channel_norm,
@@ -14,7 +13,7 @@ from ldm_image_generator_tpu.ops import (
 )
 from ldm_image_generator_tpu.ops.window import pad_mask, shift_2d
 
-from tests.reference_util import import_reference, to_nhwc, from_nhwc
+from tests.reference_util import import_reference
 
 
 def test_channel_norm_matches_reference():

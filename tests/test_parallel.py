@@ -4,7 +4,6 @@ single-device result (SURVEY.md §4 'distributed without a cluster')."""
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ldm_image_generator_tpu.config import DDPMConfig, UNetConfig

@@ -8,7 +8,6 @@ shifted-mask path is bypassed (attention.py:15-16)."""
 import numpy as np
 import jax
 import jax.numpy as jnp
-import pytest
 
 from ldm_image_generator_tpu.config import DDPMConfig, UNetConfig
 from ldm_image_generator_tpu.diffusion import ddim_sample, make_schedule
