@@ -86,3 +86,40 @@ def test_ffn_backend_pallas_falls_back_on_cpu():
     out = unet.apply(params, x, t, rngs={"moe": key})
     assert out.shape == x.shape
     assert bool(jnp.isfinite(out).all())
+
+
+def test_ffn_block_custom_vjp_grads_match_xla():
+    from unittest import mock
+
+    import ldm_image_generator_tpu.kernels.ffn_block as fb
+
+    args = _setup(n=64, c=128, m=128)
+    (x, mul, bias, gwa, gba, gwb, gbb, gwc, gbc,
+     wa, ba, wb, bb, wc, bc) = args
+    ids = jnp.asarray([0, 2], jnp.int32)
+
+    orig = fb.ffn_block_pallas
+    with mock.patch.object(
+        fb, "ffn_block_pallas",
+        lambda *a, **kw: orig(*a, **{**kw, "interpret": True}),
+    ):
+        def f_fused(x, gwa, wa):
+            out, h = fb._fused_ffn_block(
+                x, mul, bias, gwa, gba, gwb, gbb, gwc, gbc,
+                wa, ba, wb, bb, wc, bc, ids)
+            return jnp.sum(out ** 2) + jnp.sum(h ** 2)
+
+        gx, gg, gw = jax.grad(f_fused, argnums=(0, 1, 2))(x, gwa, wa)
+
+    def f_ref(x, gwa, wa):
+        out, h = fb.ffn_block_xla(x, mul, bias, gwa, gba, gwb, gbb, gwc,
+                                  gbc, wa, ba, wb, bb, wc, bc, 0, 2)
+        return jnp.sum(out ** 2) + jnp.sum(h ** 2)
+
+    rx, rg, rw = jax.grad(f_ref, argnums=(0, 1, 2))(x, gwa, wa)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(rx), rtol=1e-4,
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gg), np.asarray(rg), rtol=1e-4,
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(rw), rtol=1e-4,
+                               atol=1e-4)
