@@ -55,6 +55,31 @@ def setup_device(name: str) -> None:
         pass  # cache is best-effort
 
 
+def add_diffusion_args(parser, train: bool = False) -> None:
+    """Diffusion-process flags shared by the DDPM/LDM train+sample CLIs
+    (additive to the reference surface)."""
+    parser.add_argument(
+        "--prediction", default="eps", choices=["eps", "v"],
+        help="model output parameterization; 'v' (arXiv:2202.00512) is "
+        "required for --zero-snr",
+    )
+    parser.add_argument(
+        "--zero-snr", action="store_true",
+        help="rescale the schedule to zero terminal SNR "
+        "(arXiv:2305.08891); needs --prediction v",
+    )
+    if train:
+        parser.add_argument(
+            "--ema", default=0.0, type=float, metavar="DECAY",
+            help="keep an EMA of the UNet params (e.g. 0.999); saved "
+            "next to the model as <modelpath>.ema",
+        )
+
+
+def ema_path(modelpath: str) -> str:
+    return modelpath + ".ema"
+
+
 def save_image(img_uint8: np.ndarray, path: str) -> None:
     """uint8 HWC -> JPEG/PNG on disk."""
     from PIL import Image

@@ -31,6 +31,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-o", "--outdir", default="./ddpm_outputs/")
     p.add_argument("--config", default="default", choices=["default", "tiny"],
                    help="model size preset (tiny = test/debug scale)")
+    from ldm_image_generator_tpu.cli.common import add_diffusion_args
+
+    add_diffusion_args(p)
     return p
 
 
@@ -51,7 +54,9 @@ def main(argv=None):
     if args.config == "tiny":
         ucfg, vcfg = ucfg.tiny(), vcfg.tiny()
     dtype = jnp.bfloat16 if args.fp16 else jnp.float32
-    pipe = LDMPipeline(ucfg, vcfg, DDPMConfig(), dtype=dtype)
+    dcfg = DDPMConfig(prediction=args.prediction,
+                      zero_terminal_snr=args.zero_snr)
+    pipe = LDMPipeline(ucfg, vcfg, dcfg, dtype=dtype)
 
     key = jax.random.PRNGKey(args.seed)
     latent = args.size // vcfg.downscale

@@ -28,12 +28,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ckpt-dir", default=None)
     p.add_argument("--config", default="default", choices=["default", "tiny"],
                    help="model size preset (tiny = test/debug scale)")
+    from ldm_image_generator_tpu.cli.common import add_diffusion_args
+
+    add_diffusion_args(p, train=True)
     return p
 
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
-    from ldm_image_generator_tpu.cli.common import maybe_load, setup_device
+    from ldm_image_generator_tpu.cli.common import (
+        ema_path,
+        maybe_load,
+        setup_device,
+    )
 
     setup_device(args.device)
 
@@ -47,6 +54,7 @@ def main(argv=None):
     from ldm_image_generator_tpu.parallel import batch_sharding, make_mesh
     from ldm_image_generator_tpu.train import (
         LDMTrainState,
+        init_ema,
         make_ldm_train_step,
         make_optimizer,
     )
@@ -74,10 +82,13 @@ def main(argv=None):
     params = maybe_load(args.modelpath, params,
                         lambda sd: ti.convert_ddpm(sd, ucfg)) or params
 
-    schedule = make_schedule(DDPMConfig())
+    schedule = make_schedule(DDPMConfig(prediction=args.prediction,
+                                        zero_terminal_snr=args.zero_snr))
     tx = make_optimizer("radam", args.learningrate)
     state = LDMTrainState(
-        params=params, opt_state=tx.init(params), step=jnp.zeros((), jnp.int32)
+        params=params, opt_state=tx.init(params),
+        step=jnp.zeros((), jnp.int32),
+        ema_params=init_ema(params) if args.ema > 0 else None,
     )
 
     ckpt = None
@@ -90,8 +101,13 @@ def main(argv=None):
             state = restored
             print(f"Resumed from step {int(state.step)}")
 
-    step_fn = jax.jit(make_ldm_train_step(unet, schedule, tx),
-                      donate_argnums=(0,))
+    step_fn = jax.jit(
+        make_ldm_train_step(
+            unet, schedule, tx, prediction=args.prediction,
+            ema_decay=args.ema if args.ema > 0 else None,
+        ),
+        donate_argnums=(0,),
+    )
 
     n_dev = len(jax.devices())
     sharding = None
@@ -105,6 +121,8 @@ def main(argv=None):
 
     def save_all():
         save_params(args.modelpath, state.params)
+        if state.ema_params is not None:
+            save_params(ema_path(args.modelpath), state.ema_params)
         if ckpt is not None:
             ckpt.save(int(state.step), state)
 

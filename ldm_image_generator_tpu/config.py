@@ -103,6 +103,16 @@ class DDPMConfig:
     # kept for config parity.
     lambda_max: float = 20.0
     lambda_min: float = -20.0
+    # Model output parameterization: 'eps' (reference behavior) or 'v'
+    # (v = sqrt(ab)*eps - sqrt(1-ab)*x0, Salimans & Ho 2022,
+    # arXiv:2202.00512) — better-conditioned targets at high noise and
+    # required for zero-SNR schedules.
+    prediction: str = "eps"
+    # Rescale the schedule so alpha_bar[T-1] == 0 (Lin et al. 2023,
+    # arXiv:2305.08891): the terminal step carries zero signal, fixing the
+    # train/sample mismatch where x_T is pure noise at sampling but not in
+    # training. Requires prediction='v' (eps is undefined at SNR 0).
+    zero_terminal_snr: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -4,6 +4,7 @@ from ldm_image_generator_tpu.diffusion.ddpm import (  # noqa: F401
     ddim_step_pairs,
     ddpm_loss,
     make_schedule,
+    pred_to_eps_x0,
     q_sample,
 )
 from ldm_image_generator_tpu.diffusion.engine import DDPM  # noqa: F401

@@ -49,6 +49,25 @@ def make_schedule(cfg: DDPMConfig = DDPMConfig()) -> DiffusionSchedule:
     beta = np.linspace(cfg.beta_min, cfg.beta_max, t, dtype=np.float64)
     alpha = 1.0 - beta
     alpha_bar = np.cumprod(alpha)
+    if cfg.zero_terminal_snr:
+        # Rescale sqrt(alpha_bar) linearly so the terminal step has
+        # exactly zero signal while the first step is unchanged
+        # (Lin et al. 2023, arXiv:2305.08891, Alg. 1). Additive to the
+        # reference, whose schedule leaves SNR[T-1] > 0 (ddpm.py:28-31).
+        sab = np.sqrt(alpha_bar)
+        s0, sT = sab[0], sab[-1]
+        sab = (sab - sT) * (s0 / (s0 - sT))
+        alpha_bar = sab**2
+        if cfg.prediction != "v":
+            raise ValueError(
+                "zero_terminal_snr needs prediction='v': at alpha_bar==0 "
+                "the eps parameterization cannot recover x0"
+            )
+        # back out per-step alpha/beta from the rescaled cumulative product
+        alpha = np.empty_like(alpha_bar)
+        alpha[0] = alpha_bar[0]
+        alpha[1:] = alpha_bar[1:] / alpha_bar[:-1]
+        beta = 1.0 - alpha
     beta_tilde = np.ones(t, dtype=np.float64)
     beta_tilde[1:] = (1.0 - alpha_bar[:-1]) / (1.0 - alpha_bar[1:]) * beta[1:]
     f32 = lambda a: jnp.asarray(a, dtype=jnp.float32)
@@ -70,16 +89,42 @@ def q_sample(schedule: DiffusionSchedule, x0: jnp.ndarray, t: jnp.ndarray,
     return jnp.sqrt(ab) * x0 + jnp.sqrt(1.0 - ab) * eps
 
 
+def pred_to_eps_x0(
+    pred: jnp.ndarray, x_t: jnp.ndarray, alpha_bar_t: jnp.ndarray,
+    prediction: str = "eps",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Convert a model output to (eps, x0) given the noisy input.
+
+    'eps': reference parameterization (ddpm.py:46); x0 via inversion of
+    q_sample (undefined at alpha_bar == 0).
+    'v':   v = sqrt(ab)*eps - sqrt(1-ab)*x0 (arXiv:2202.00512 eq. 12);
+    both conversions are well-defined over the whole schedule, including
+    the zero-SNR terminal step.
+    """
+    ab = _bcast(jnp.asarray(alpha_bar_t), x_t.ndim).astype(jnp.float32)
+    sa, sb = jnp.sqrt(ab), jnp.sqrt(1.0 - ab)
+    xf = x_t.astype(jnp.float32)
+    pred = pred.astype(jnp.float32)
+    if prediction == "eps":
+        return pred, (xf - sb * pred) / sa
+    if prediction == "v":
+        return sb * xf + sa * pred, sa * xf - sb * pred
+    raise ValueError(f"unknown prediction {prediction!r}")
+
+
 def ddpm_loss(
     denoise_fn: Callable[[jnp.ndarray, jnp.ndarray, jax.Array], jnp.ndarray],
     schedule: DiffusionSchedule,
     x: jnp.ndarray,
     key: jax.Array,
     loss: str = "l1",
+    prediction: str = "eps",
 ) -> jnp.ndarray:
-    """Epsilon-prediction loss (ddpm.py:39-48).
+    """Noise-prediction loss (ddpm.py:39-48).
 
-    denoise_fn(x_t, t, key) -> eps_hat; the key covers the model's own
+    denoise_fn(x_t, t, key) -> model output in the given parameterization
+    ('eps' target = the drawn noise, reference behavior; 'v' target =
+    sqrt(ab)*eps - sqrt(1-ab)*x0). The key covers the model's own
     stochasticity (MoE routing, stochastic depth).
     """
     key_t, key_eps, key_model = jax.random.split(key, 3)
@@ -87,8 +132,18 @@ def ddpm_loss(
     t = jax.random.randint(key_t, (b,), 1, schedule.num_timesteps)
     eps = jax.random.normal(key_eps, x.shape, dtype=x.dtype)
     x_t = q_sample(schedule, x, t, eps)
-    eps_hat = denoise_fn(x_t, t, key_model)
-    err = eps_hat.astype(jnp.float32) - eps.astype(jnp.float32)
+    out = denoise_fn(x_t, t, key_model).astype(jnp.float32)
+    if prediction == "eps":
+        target = eps.astype(jnp.float32)
+    elif prediction == "v":
+        ab = _bcast(schedule.alpha_bar[t], x.ndim)
+        target = (
+            jnp.sqrt(ab) * eps.astype(jnp.float32)
+            - jnp.sqrt(1.0 - ab) * x.astype(jnp.float32)
+        )
+    else:
+        raise ValueError(f"unknown prediction {prediction!r}")
+    err = out - target
     if loss == "l1":
         return jnp.mean(jnp.abs(err))
     if loss == "l2":
@@ -125,11 +180,13 @@ def ddim_sample(
     steps: Optional[Sequence[int]] = None,
     dtype=jnp.float32,
     init_noise: Optional[jnp.ndarray] = None,
+    prediction: str = "eps",
 ) -> jnp.ndarray:
     """DDIM reverse sampler as one lax.scan (ddpm.py:52-93, jitted whole).
 
-    denoise_fn(x, t_vec, key) -> eps_hat with t_vec: [B] int32 (raw
-    timestep indices, as the reference feeds TimeEncoding2d).
+    denoise_fn(x, t_vec, key) -> model output in the `prediction`
+    parameterization ('eps' or 'v'), with t_vec: [B] int32 (raw timestep
+    indices, as the reference feeds TimeEncoding2d).
     init_noise overrides the internally drawn x_T (fidelity tests /
     reproducing a specific trajectory). Returns x0-space samples.
     """
@@ -152,8 +209,8 @@ def ddim_sample(
         # one shared timestep per DDIM step: pass t with batch dim 1 and
         # let the model's time conditioning broadcast over the image batch
         t_vec = jnp.full((1,), t, dtype=jnp.int32)
-        eps_hat = denoise_fn(x, t_vec, k_model).astype(jnp.float32)
-        xf = x.astype(jnp.float32)
+        pred = denoise_fn(x, t_vec, k_model)
+        eps_hat, x0 = pred_to_eps_x0(pred, x, alpha_bar[t], prediction)
 
         a_t = alpha_bar[t]
         a_n = alpha_bar[t_next]
@@ -162,7 +219,6 @@ def ddim_sample(
             * jnp.sqrt((1.0 - a_n) / (1.0 - a_t))
             * jnp.sqrt(jnp.maximum(1.0 - a_t / a_n, 0.0))
         )
-        x0 = (xf - jnp.sqrt(1.0 - a_t) * eps_hat) / jnp.sqrt(a_t)
         noise = jax.random.normal(k_noise, x_shape, dtype=jnp.float32)
         x_new = (
             jnp.sqrt(a_n) * x0

@@ -25,7 +25,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ldm_image_generator_tpu.diffusion.ddpm import DiffusionSchedule
+from ldm_image_generator_tpu.diffusion.ddpm import (
+    DiffusionSchedule,
+    pred_to_eps_x0,
+)
 
 
 def dpm_solver_sample(
@@ -36,8 +39,11 @@ def dpm_solver_sample(
     num_steps: int = 10,
     steps: Optional[Sequence[int]] = None,
     dtype=jnp.float32,
+    prediction: str = "eps",
 ) -> jnp.ndarray:
-    """DPM-Solver++(2M). denoise_fn(x, t_vec [1], key) -> eps_hat."""
+    """DPM-Solver++(2M). denoise_fn(x, t_vec [1], key) -> model output in
+    the `prediction` parameterization ('eps' or 'v'); the solver itself is
+    x0-parameterized, so both convert through pred_to_eps_x0."""
     if steps is None:
         ts = np.linspace(0, schedule.num_timesteps - 1, num_steps).astype(
             np.int32
@@ -56,8 +62,9 @@ def dpm_solver_sample(
 
     def x0_of(x, t, k):
         t_vec = jnp.full((1,), t, dtype=jnp.int32)
-        eps = denoise_fn(x.astype(dtype), t_vec, k).astype(jnp.float32)
-        return (x - sigma[t] * eps) / alpha[t]
+        pred = denoise_fn(x.astype(dtype), t_vec, k)
+        _, x0 = pred_to_eps_x0(pred, x, ab[t], prediction)
+        return x0
 
     t0 = jnp.asarray(ts[0])
     key, k0 = jax.random.split(key)

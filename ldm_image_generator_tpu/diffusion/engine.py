@@ -37,12 +37,16 @@ class DDPM:
         loss_function: str = "l1",
         lambda_max: float = 20.0,
         lambda_min: float = -20.0,
+        prediction: str = "eps",
+        zero_terminal_snr: bool = False,
     ):
         self.model = model
         self.params = params
         cfg = DDPMConfig(beta_min=beta_min, beta_max=beta_max,
                          num_timesteps=num_timesteps, loss=loss_function,
-                         lambda_max=lambda_max, lambda_min=lambda_min)
+                         lambda_max=lambda_max, lambda_min=lambda_min,
+                         prediction=prediction,
+                         zero_terminal_snr=zero_terminal_snr)
         self.cfg = cfg
         self.schedule = make_schedule(cfg)
         self.num_timesteps = num_timesteps
@@ -64,6 +68,7 @@ class DDPM:
         return ddpm_loss(
             self._denoise_fn(params, condition, deterministic=not train),
             self.schedule, x, key, loss=self.cfg.loss,
+            prediction=self.cfg.prediction,
         )
 
     def sample(
@@ -113,5 +118,5 @@ class DDPM:
 
         return ddim_sample(
             denoise, self.schedule, key, x_shape, num_steps=num_steps,
-            eta=eta, steps=steps,
+            eta=eta, steps=steps, prediction=self.cfg.prediction,
         )

@@ -63,6 +63,7 @@ class LDMPipeline:
         self.unet = UNet(unet_cfg, dtype=dtype)
         self.decoder = Decoder(vae_cfg, dtype=dtype)
         self.schedule = make_schedule(ddpm_cfg)
+        self.prediction = ddpm_cfg.prediction
         self.unet_cfg = unet_cfg
         self.vae_cfg = vae_cfg
 
@@ -94,12 +95,13 @@ class LDMPipeline:
 
         if sampler == "dpm++2m":
             z = dpm_solver_sample(
-                denoise, self.schedule, key, shape, num_steps=num_steps
+                denoise, self.schedule, key, shape, num_steps=num_steps,
+                prediction=self.prediction,
             )
         else:
             z = ddim_sample(
                 denoise, self.schedule, key, shape, num_steps=num_steps,
-                eta=eta,
+                eta=eta, prediction=self.prediction,
             )
         img = self.decoder.apply(decoder_params, z)
         return to_uint8(img)
@@ -119,6 +121,7 @@ class DDPMPipeline:
         self.unet_cfg = unet_cfg or UNetConfig(input_channels=3)
         self.unet = UNet(self.unet_cfg, dtype=dtype)
         self.schedule = make_schedule(ddpm_cfg)
+        self.prediction = ddpm_cfg.prediction
 
     @functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6, 7))
     def sample(
@@ -141,11 +144,12 @@ class DDPMPipeline:
 
         if sampler == "dpm++2m":
             x = dpm_solver_sample(
-                denoise, self.schedule, key, shape, num_steps=num_steps
+                denoise, self.schedule, key, shape, num_steps=num_steps,
+                prediction=self.prediction,
             )
         else:
             x = ddim_sample(
                 denoise, self.schedule, key, shape, num_steps=num_steps,
-                eta=eta,
+                eta=eta, prediction=self.prediction,
             )
         return to_uint8(x)
