@@ -6,3 +6,4 @@ from ldm_image_generator_tpu.train.steps import (  # noqa: F401
     make_optimizer,
     make_vae_train_step,
 )
+from ldm_image_generator_tpu.train.eval import make_eval_step  # noqa: F401
