@@ -451,6 +451,9 @@ class SwinBlock(nn.Module):
     shift: int = 0
     attention: bool = True
     stochastic_depth: float = 0.25
+    num_experts: int = 4
+    experts_per_call: int = 2
+    ffn_mul: int = 1
     fixed_expert_indices: Optional[Sequence[int]] = None
     # debug/profiling: branch names ('norm','film','moe','conv','attn') to
     # skip at apply time; params are still created so checkpoints and
@@ -480,6 +483,9 @@ class SwinBlock(nn.Module):
         enc = Encodings(c, dtype=self.dtype, name="encodings")
         moe = RandomMoE(
             c,
+            ffn_mul=self.ffn_mul,
+            num_experts=self.num_experts,
+            experts_per_call=self.experts_per_call,
             fixed_expert_indices=self.fixed_expert_indices,
             dtype=self.dtype,
             name="ffn",
@@ -488,6 +494,10 @@ class SwinBlock(nn.Module):
             self.ffn_backend in ("pallas", "auto")
             and self._on("norm") and self._on("film") and self._on("moe")
             and jax.default_backend() in ("tpu", "axon")
+            # the fused kernel is specialized to 2 active experts at
+            # hidden width == C; other routings use the XLA switch path
+            and self.experts_per_call == 2
+            and self.ffn_mul == 1
             # kernel keeps 9 [C, C] weight mats resident in VMEM; larger
             # stages (C=1024) stay on the XLA switch path
             and c % 128 == 0
@@ -565,6 +575,9 @@ class SwinStack(nn.Module):
     window_size: int = 6
     attention: bool = True
     stochastic_depth: float = 0.25
+    num_experts: int = 4
+    experts_per_call: int = 2
+    ffn_mul: int = 1
     fixed_expert_indices: Optional[Sequence[int]] = None
     ablate_branches: Optional[Sequence[str]] = None
     attention_backend: str = "auto"
@@ -583,6 +596,9 @@ class SwinStack(nn.Module):
                 shift=shift,
                 attention=attn,
                 stochastic_depth=self.stochastic_depth,
+                num_experts=self.num_experts,
+                experts_per_call=self.experts_per_call,
+                ffn_mul=self.ffn_mul,
                 fixed_expert_indices=self.fixed_expert_indices,
                 ablate_branches=self.ablate_branches,
                 attention_backend=self.attention_backend,

@@ -74,6 +74,9 @@ class UNet(nn.Module):
             window_size=cfg.window_size,
             attention=attn,
             stochastic_depth=cfg.stochastic_depth,
+            num_experts=cfg.num_experts,
+            experts_per_call=cfg.experts_per_call,
+            ffn_mul=cfg.ffn_mul,
             fixed_expert_indices=cfg.fixed_expert_indices,
             ablate_branches=cfg.ablate_branches,
             attention_backend=cfg.attention_backend,
