@@ -74,6 +74,20 @@ def add_diffusion_args(parser, train: bool = False) -> None:
             help="keep an EMA of the UNet params (e.g. 0.999); saved "
             "next to the model as <modelpath>.ema",
         )
+        parser.add_argument(
+            "--val-dir", default=None, nargs="+", metavar="DIR",
+            help="held-out image directory: evaluate the stratified "
+            "validation loss (train/eval.py) every --val-every steps and "
+            "log val_loss (+ val_loss_ema) to the JSONL metrics",
+        )
+        parser.add_argument(
+            "--val-every", default=500, type=int, metavar="STEPS",
+            help="validation cadence in train steps (with --val-dir)",
+        )
+        parser.add_argument(
+            "--val-batches", default=4, type=int, metavar="N",
+            help="number of fixed validation batches to average over",
+        )
 
 
 def ema_path(modelpath: str) -> str:

@@ -119,6 +119,18 @@ def main(argv=None):
     loader = BatchLoader(ds, args.batch, sharding=sharding)
     logger = MetricLogger(log_every=10)
 
+    validator = None
+    if args.val_dir:
+        from ldm_image_generator_tpu.train import Validator
+
+        val_ds = ImageDataset(args.val_dir, size=args.size)
+        validator = Validator(
+            val_ds, unet, schedule, prediction=args.prediction,
+            batch=args.batch, max_batches=args.val_batches,
+        )
+        print(f"validation: {len(val_ds)} images, "
+              f"every {args.val_every} steps")
+
     def save_all():
         save_params(args.modelpath, state.params)
         if state.ema_params is not None:
@@ -137,6 +149,8 @@ def main(argv=None):
                 )
                 gstep += 1
                 logger.log(gstep, metrics, batch_size=args.batch)
+                if validator is not None and gstep % args.val_every == 0:
+                    logger.log_now(gstep, validator.run(state))
                 if gstep % 50 == 0:
                     assert_finite_metrics(
                         {k: v for k, v in metrics.items()}, gstep)

@@ -91,6 +91,12 @@ def main(argv=None):
     )
     print(f"dataset: {len(ds)} latents "
           f"({args.size // vcfg.downscale}px, {vcfg.latent_channels}ch)")
+    val_ds = None
+    if args.val_dir:
+        val_ds = LatentImageDataset(
+            args.val_dir, size=args.size,
+            encode_fn=lambda x: encode(jnp.asarray(x)),
+        )
     del enc_p
 
     unet = UNet(ucfg, dtype=dtype)
@@ -139,6 +145,17 @@ def main(argv=None):
     loader = BatchLoader(ds, args.batch, sharding=sharding)
     logger = MetricLogger(log_every=10)
 
+    validator = None
+    if val_ds is not None:
+        from ldm_image_generator_tpu.train import Validator
+
+        validator = Validator(
+            val_ds, unet, schedule, prediction=args.prediction,
+            batch=args.batch, max_batches=args.val_batches,
+        )
+        print(f"validation: {len(val_ds)} latents, "
+              f"every {args.val_every} steps")
+
     def save_all():
         save_params(args.modelpath, state.params)
         if state.ema_params is not None:
@@ -157,6 +174,8 @@ def main(argv=None):
                 )
                 gstep += 1
                 logger.log(gstep, metrics, batch_size=args.batch)
+                if validator is not None and gstep % args.val_every == 0:
+                    logger.log_now(gstep, validator.run(state))
                 if gstep % 50 == 0:
                     assert_finite_metrics(
                         {k: v for k, v in metrics.items()}, gstep)

@@ -6,4 +6,7 @@ from ldm_image_generator_tpu.train.steps import (  # noqa: F401
     make_optimizer,
     make_vae_train_step,
 )
-from ldm_image_generator_tpu.train.eval import make_eval_step  # noqa: F401
+from ldm_image_generator_tpu.train.eval import (  # noqa: F401
+    Validator,
+    make_eval_step,
+)

@@ -73,3 +73,49 @@ def make_eval_step(
         return total / num_t
 
     return eval_step
+
+
+class Validator:
+    """Periodic held-out validation for the train CLIs (--val-dir /
+    --val-every). The reference logs only running train loss
+    (train_ldm.py:88); this evaluates the stratified val loss above on
+    fixed batches from a held-out dataset, for raw and (when present)
+    EMA params, and returns a metrics dict for the JSONL log.
+
+    Batches are materialized once, in dataset order (no shuffle), so the
+    metric is deterministic across runs and resumes.
+    """
+
+    def __init__(self, dataset, unet, schedule: DiffusionSchedule, *,
+                 prediction: str = "eps", loss: str = "l1",
+                 batch: int = 1, max_batches: int = 4, num_t: int = 8):
+        import numpy as np
+
+        n = len(dataset)
+        if n == 0:
+            raise ValueError("validation dataset is empty")
+        bs = min(batch, n)
+        nb = max(1, min(max_batches, n // bs))
+        self.batches = [
+            jnp.asarray(
+                np.stack([dataset[i * bs + j] for j in range(bs)])
+            )
+            for i in range(nb)
+        ]
+        self._eval = jax.jit(
+            make_eval_step(unet, schedule, loss=loss,
+                           prediction=prediction, num_t=num_t)
+        )
+
+    def _avg(self, params) -> float:
+        key = jax.random.PRNGKey(1234)
+        total = 0.0
+        for i, b in enumerate(self.batches):
+            total += float(self._eval(params, b, jax.random.fold_in(key, i)))
+        return total / len(self.batches)
+
+    def run(self, state) -> dict:
+        out = {"val_loss": self._avg(state.params)}
+        if getattr(state, "ema_params", None) is not None:
+            out["val_loss_ema"] = self._avg(state.ema_params)
+        return out

@@ -43,3 +43,16 @@ class MetricLogger:
         self.stream.flush()
         self._last_t = now
         self._last_step = step
+
+    def log_now(self, step: int, metrics: Dict, **extra) -> None:
+        """Emit one JSONL record unconditionally (e.g. validation results),
+        without touching the throughput bookkeeping."""
+        rec = {"step": step, "time": round(time.perf_counter() - self._t0, 2)}
+        for k, v in metrics.items():
+            try:
+                rec[k] = round(float(v), 6)
+            except (TypeError, ValueError):
+                rec[k] = v
+        rec.update(extra)
+        self.stream.write(json.dumps(rec) + "\n")
+        self.stream.flush()

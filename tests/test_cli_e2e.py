@@ -80,6 +80,31 @@ def test_ddpm_pixel_workflow(dataset_dir, tmp_path, monkeypatch):
     assert sorted(os.listdir(tmp_path / "pix_out")) == ["0.jpg", "1.jpg"]
 
 
+def test_validation_logging(dataset_dir, tmp_path, monkeypatch, capsys):
+    """--val-dir/--val-every must surface train/eval.py from the CLI:
+    a val_loss (and val_loss_ema with --ema) JSONL line appears."""
+    import json
+
+    monkeypatch.chdir(tmp_path)
+    from ldm_image_generator_tpu.cli import train_ddpm
+
+    train_ddpm.main(
+        [dataset_dir, "-d", "cpu", "--config", "tiny", "-s", "8",
+         "-b", "2", "-e", "1", "-m", "4", "--ema", "0.99",
+         "-mp", str(tmp_path / "val.ckpt"),
+         "--val-dir", dataset_dir, "--val-every", "1",
+         "--val-batches", "2"]
+    )
+    val_lines = [
+        json.loads(ln) for ln in capsys.readouterr().out.splitlines()
+        if ln.startswith("{") and "val_loss" in ln
+    ]
+    assert val_lines, "no val_loss JSONL line was emitted"
+    for rec in val_lines:
+        assert np.isfinite(rec["val_loss"])
+        assert np.isfinite(rec["val_loss_ema"])
+
+
 def test_torch_checkpoint_loads_via_cli_path(tmp_path):
     """A reference torch state_dict dropped at the checkpoint path must be
     transparently converted (migration path for reference users)."""
