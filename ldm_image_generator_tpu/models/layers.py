@@ -504,16 +504,19 @@ class SwinBlock(nn.Module):
             and 9 * c * c * 2 <= 10 * 1024 * 1024
         )
         if fuse_ffn:
-            mul, bias = enc(x, t, return_film=True)
-            branch, h = moe(x, film_mul=mul, film_bias=bias)
+            with jax.named_scope("ffn_fused"):
+                mul, bias = enc(x, t, return_film=True)
+                branch, h = moe(x, film_mul=mul, film_bias=bias)
         else:
-            h = channel_norm(x) if self._on("norm") else x
-            if self._on("film"):
-                h = enc(h, t)
-            else:
-                _ = enc(h[:, :1, :1, :], t)  # param creation only
+            with jax.named_scope("norm_film"):
+                h = channel_norm(x) if self._on("norm") else x
+                if self._on("film"):
+                    h = enc(h, t)
+                else:
+                    _ = enc(h[:, :1, :1, :], t)  # param creation only
             if self._on("moe"):
-                branch = moe(h)
+                with jax.named_scope("moe_ffn"):
+                    branch = moe(h)
             else:
                 _ = moe(h[:, :1, :1, :])
                 branch = jnp.zeros_like(h)
@@ -524,7 +527,8 @@ class SwinBlock(nn.Module):
             name="conv",
         )
         if self._on("conv"):
-            branch = branch + conv(h)
+            with jax.named_scope("grouped_conv"):
+                branch = branch + conv(h)
         else:
             _ = conv(h[:, :3, :3, :])
         if self.attention:
@@ -539,13 +543,15 @@ class SwinBlock(nn.Module):
                 name="self_attention",
             )
             if self._on("attn"):
-                branch = branch + wattn(h)
+                with jax.named_scope("window_attention"):
+                    branch = branch + wattn(h)
             else:
                 _ = wattn(h[:, : self.window_size, : self.window_size, :])
             cross = CrossAttention(c, heads, dtype=self.dtype, name="cross_attention")
             if cond is not None:
                 # reference applies cross-attn to the summed branch (unet.py:45-46)
-                branch = branch + cross(branch, cond)
+                with jax.named_scope("cross_attention"):
+                    branch = branch + cross(branch, cond)
             else:
                 # Create the cross-attention params even when unconditioned so
                 # checkpoints are complete (the reference instantiates the

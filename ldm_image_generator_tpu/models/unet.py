@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -85,24 +86,34 @@ class UNet(nn.Module):
             name=name,
         )
 
+        # jax.named_scope: per-stage attribution in jax.profiler traces
+        # (docs/PERF.md methodology; scopes show up as TraceMe names)
         skips = []
         for i in range(n):
-            x = stack(i, False, f"enc_stage_{i}")(x, time, None, deterministic)
+            with jax.named_scope(f"enc_stage_{i}"):
+                x = stack(i, False, f"enc_stage_{i}")(x, time, None, deterministic)
             if i == n - 1:
                 skips.append(None)  # zero bottleneck skip (unet.py:95)
             else:
                 skips.append(x)
-                x = nn.Dense(chs[i + 1], dtype=self.dtype, name=f"enc_chconv_{i}")(x)
-                x = avg_pool_2x(x)
+                with jax.named_scope(f"down_{i}"):
+                    x = nn.Dense(
+                        chs[i + 1], dtype=self.dtype, name=f"enc_chconv_{i}"
+                    )(x)
+                    x = avg_pool_2x(x)
 
         for i in reversed(range(n)):
             if i != n - 1:
-                x = upsample_nearest_2x(x)
-                x = nn.Dense(chs[i], dtype=self.dtype, name=f"dec_chconv_{i}")(x)
+                with jax.named_scope(f"up_{i}"):
+                    x = upsample_nearest_2x(x)
+                    x = nn.Dense(
+                        chs[i], dtype=self.dtype, name=f"dec_chconv_{i}"
+                    )(x)
             s = skips[i]
             if s is not None:
                 x = x + s
-            x = stack(i, True, f"dec_stage_{i}")(x, time, condition, deterministic)
+            with jax.named_scope(f"dec_stage_{i}"):
+                x = stack(i, True, f"dec_stage_{i}")(x, time, condition, deterministic)
 
         x = nn.ConvTranspose(
             cfg.input_channels, (stem, stem), strides=(stem, stem), padding="VALID",

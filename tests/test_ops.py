@@ -94,3 +94,28 @@ def test_shift_roundtrip():
     np.testing.assert_array_equal(
         np.asarray(shift_2d(shift_2d(x, 3), -3)), np.asarray(x)
     )
+
+
+def test_named_scopes_in_lowered_hlo():
+    """Per-stage jax.named_scope annotations must survive into the
+    lowered module so profiler traces attribute time (VERDICT item 8)."""
+    import jax
+    import jax.numpy as jnp
+    from ldm_image_generator_tpu.config import UNetConfig
+    from ldm_image_generator_tpu.models import UNet
+
+    cfg = UNetConfig(input_channels=4, stages=(1, 1), channels=(32, 64))
+    model = UNet(cfg)
+    key = jax.random.PRNGKey(0)
+    x = jnp.zeros((1, 8, 8, 4), jnp.float32)
+    t = jnp.zeros((1,), jnp.int32)
+    params = model.init({"params": key, "moe": key, "sd": key}, x, t)
+
+    def fwd(p, x, t):
+        return model.apply(p, x, t, deterministic=True,
+                           rngs={"moe": jax.random.PRNGKey(1)})
+
+    text = jax.jit(fwd).lower(params, x, t).as_text(debug_info=True)
+    for scope in ("enc_stage_0", "dec_stage_1", "moe_ffn", "grouped_conv",
+                  "window_attention"):
+        assert scope in text, f"named scope {scope!r} missing from HLO"
