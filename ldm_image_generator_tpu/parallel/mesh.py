@@ -49,20 +49,61 @@ def make_mesh(
     return Mesh(arr, ("data", "model"))
 
 
+def make_multislice_mesh(
+    n_devices: Optional[int] = None,
+    replicas: int = 1,
+    model_parallel: int = 1,
+    devices=None,
+) -> Mesh:
+    """3-axis ('replica', 'data', 'model') mesh for multi-slice pods.
+
+    Axis order encodes network locality: the OUTER 'replica' axis maps
+    across slices (DCN links), the inner 'data'/'model' axes stay within
+    a slice (ICI). Gradient reduction over ('replica', 'data') then
+    lowers hierarchically — XLA reduce-scatters over the fast ICI first
+    and all-reduces only the small shards over DCN. Cannot be exercised
+    on real multi-slice hardware here; validated on virtual devices
+    (tests/test_parallel.py, __graft_entry__.dryrun_multichip)."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is None:
+        n_devices = len(devices)
+    devices = devices[:n_devices]
+    per_replica = n_devices // replicas
+    assert replicas * per_replica == n_devices, (n_devices, replicas)
+    assert per_replica % model_parallel == 0, (per_replica, model_parallel)
+    arr = np.asarray(devices).reshape(
+        replicas, per_replica // model_parallel, model_parallel
+    )
+    return Mesh(arr, ("replica", "data", "model"))
+
+
+def _data_axes(mesh: Mesh):
+    """Batch-sharding axes: ('replica','data') on a multi-slice mesh,
+    'data' on the 2-axis mesh."""
+    return (
+        ("replica", "data") if "replica" in mesh.axis_names else "data"
+    )
+
+
 def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
-    """Shard the leading (batch) axis over 'data', replicate the rest."""
-    return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
+    """Shard the leading (batch) axis over the data axes, replicate the
+    rest. On a ('replica','data','model') mesh the batch spans both
+    replica (DCN) and data (ICI) axes."""
+    return NamedSharding(mesh, P(_data_axes(mesh), *([None] * (ndim - 1))))
 
 
 def spatial_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:
     """Sequence-parallel analogue for images (SURVEY.md §5 long-context
-    row): batch over 'data' AND image height over 'model'. XLA GSPMD
-    inserts the halo exchanges the 3x3 convs / shifted windows need —
-    verified vs single-device numerics in tests/test_parallel.py. Use
-    when one image's activations exceed a chip (high-resolution
+    row): batch over the data axes AND image height over 'model'. XLA
+    GSPMD inserts the halo exchanges the 3x3 convs / shifted windows
+    need — verified vs single-device numerics in tests/test_parallel.py.
+    Use when one image's activations exceed a chip (high-resolution
     training/sampling)."""
     assert ndim >= 3
-    return NamedSharding(mesh, P("data", "model", *([None] * (ndim - 2))))
+    return NamedSharding(
+        mesh, P(_data_axes(mesh), "model", *([None] * (ndim - 2)))
+    )
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

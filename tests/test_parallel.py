@@ -12,6 +12,7 @@ from ldm_image_generator_tpu.models import UNet
 from ldm_image_generator_tpu.parallel import (
     batch_sharding,
     make_mesh,
+    make_multislice_mesh,
     param_shardings,
     shard_params,
     spatial_sharding,
@@ -106,6 +107,46 @@ def test_sampling_under_mesh():
         )(jax.random.PRNGKey(0))
     assert out.shape == (8, 8, 8, 4)
     assert bool(jnp.isfinite(out).all())
+
+
+def test_multislice_mesh_axes():
+    mesh = make_multislice_mesh(8, replicas=2, model_parallel=2)
+    assert mesh.shape == {"replica": 2, "data": 2, "model": 2}
+    # batch sharding spans both replica (DCN) and data (ICI) axes
+    sh = batch_sharding(mesh, 4)
+    assert sh.spec == P(("replica", "data"), None, None, None)
+
+
+def test_multislice_train_step_matches_single_device():
+    """replica(DCN) x data x model 3-axis mesh == single-device numerics;
+    the hierarchical gradient reduction must not change the math."""
+    cfg = UNetConfig(
+        input_channels=4, stages=(1, 1), channels=(32, 256),
+        stochastic_depth=0.0,
+    )
+    unet, params, x = _build(cfg, batch=8)
+    schedule = make_schedule(DDPMConfig(num_timesteps=50))
+    tx = make_optimizer("adamw", 1e-3)
+
+    def make_state(p):
+        return LDMTrainState(
+            params=p, opt_state=tx.init(p), step=jnp.zeros((), jnp.int32)
+        )
+
+    step = make_ldm_train_step(unet, schedule, tx, stochastic_depth=False)
+    s0, m0 = jax.jit(step)(make_state(params), x, jax.random.PRNGKey(1))
+
+    mesh = make_multislice_mesh(8, replicas=2, model_parallel=2)
+    sharded = shard_params(params, mesh)
+    x_sh = jax.device_put(x, batch_sharding(mesh, x.ndim))
+    with jax.sharding.set_mesh(mesh):
+        s1, m1 = jax.jit(step)(make_state(sharded), x_sh, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(float(m0["loss"]), float(m1["loss"]),
+                               rtol=1e-4)
+    l0 = jax.tree.leaves(s0.params)[0]
+    l1 = jax.tree.leaves(s1.params)[0]
+    np.testing.assert_allclose(np.asarray(l0), np.asarray(jax.device_get(l1)),
+                               rtol=1e-3, atol=1e-5)
 
 
 def test_dp_sp_train_step_matches_single_device():
