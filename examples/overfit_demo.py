@@ -147,6 +147,27 @@ def main():
     for i in range(4):
         save_image(float_to_image(imgs[i]),
                    os.path.join(outdir, f"ldm_sample_{i}.jpg"))
+
+    # ---- sample quality: patched KID on VAE-encoder features ------------
+    # (inception-free; ~0 when samples match the training distribution —
+    # the guard that perf work can't silently break quality)
+    from ldm_image_generator_tpu.utils.quality import kid_from_images
+
+    kid_samples = float(jax.jit(
+        lambda p, a, b: kid_from_images(enc, {"params": p}, a, b)
+    )(vstate.vae_params["encoder"], images, jnp.clip(jnp.asarray(imgs), -1, 1)))
+    # reference scale: KID of pure-noise "samples" against the same reals
+    noise_imgs = jax.random.uniform(
+        jax.random.PRNGKey(9), imgs.shape, minval=-1.0, maxval=1.0
+    )
+    kid_noise = float(jax.jit(
+        lambda p, a, b: kid_from_images(enc, {"params": p}, a, b)
+    )(vstate.vae_params["encoder"], images, noise_imgs))
+    print(json.dumps({
+        "phase": "quality", "metric": "patched_kid_vae_features",
+        "kid_samples": round(kid_samples, 5),
+        "kid_noise_reference": round(kid_noise, 5),
+    }), flush=True)
     print(json.dumps({"phase": "done", "outdir": outdir}), flush=True)
 
 
