@@ -16,6 +16,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ldm_image_generator_tpu.config import (
     DDPMConfig,
@@ -40,6 +41,40 @@ def cast_floating(tree, dtype):
         else x,
         tree,
     )
+
+
+def make_cached_denoise(unet, unet_params, num_timesteps: int,
+                        num_steps: int, probe_shape):
+    """Build a denoise_fn closing over a precomputed FiLM schedule cache.
+
+    The UNet's FiLM towers are ~184M of the default 385.7M params and
+    depend only on (t, H, W); inside a sampling scan XLA must re-stream
+    their weights from HBM every step (t changes per step, so they are
+    not loop-invariant). Precomputing (mul, bias) for all `num_steps`
+    sampler timesteps up front costs one FiLM pass and removes ~370MB of
+    HBM reads per denoise step at batch 1. Numerics are identical —
+    the same module computes the same values, just batched over t.
+
+    Both the DDIM (ddpm.py:64-72 semantics) and DPM-Solver++ samplers
+    draw t from the descending linspace over [0, T-1], so the cache is
+    keyed by position via an exact t-value match.
+    """
+    ts_np = np.linspace(0, num_timesteps - 1, num_steps).astype(np.int32)
+    ts_arr = jnp.asarray(ts_np[::-1].copy())
+    probe = jnp.zeros(probe_shape, jnp.float32)
+    film_cache = unet.apply(
+        unet_params, probe, ts_arr, deterministic=True, collect_film=True
+    )
+
+    def denoise(x, t_vec, k):
+        i = jnp.argmax(ts_arr == t_vec[0])
+        film_i = jax.tree.map(lambda a: a[i][None], film_cache)
+        return unet.apply(
+            unet_params, x, t_vec, deterministic=True, film=film_i,
+            rngs={"moe": k},
+        ).astype(jnp.float32)
+
+    return denoise
 
 
 def to_uint8(img: jnp.ndarray) -> jnp.ndarray:
@@ -67,7 +102,7 @@ class LDMPipeline:
         self.unet_cfg = unet_cfg
         self.vae_cfg = vae_cfg
 
-    @functools.partial(jax.jit, static_argnums=(0, 4, 5, 6, 7, 8))
+    @functools.partial(jax.jit, static_argnums=(0, 4, 5, 6, 7, 8, 9))
     def sample(
         self,
         unet_params,
@@ -78,20 +113,30 @@ class LDMPipeline:
         num_steps: int = 20,
         eta: float = 0.0,
         sampler: str = "ddim",
+        film_cache: bool = True,
     ) -> jnp.ndarray:
         """Returns uint8 images [batch, image_size, image_size, 3].
 
         sampler: 'ddim' (reference semantics) or 'dpm++2m' (second-order
-        multistep — DDIM-20 quality in ~10 steps)."""
+        multistep — DDIM-20 quality in ~10 steps).
+        film_cache: precompute the FiLM conditioning for all sampler
+        timesteps before the scan (same numerics, ~370MB/step less HBM
+        weight streaming; see make_cached_denoise)."""
         latent = image_size // self.vae_cfg.downscale
         shape = (batch, latent, latent, self.unet_cfg.input_channels)
         unet_params = cast_floating(unet_params, self.unet.dtype)
         decoder_params = cast_floating(decoder_params, self.decoder.dtype)
 
-        def denoise(x, t_vec, k):
-            return self.unet.apply(
-                unet_params, x, t_vec, deterministic=True, rngs={"moe": k}
-            ).astype(jnp.float32)
+        if film_cache:
+            denoise = make_cached_denoise(
+                self.unet, unet_params, self.schedule.num_timesteps,
+                num_steps, (1, latent, latent, self.unet_cfg.input_channels),
+            )
+        else:
+            def denoise(x, t_vec, k):
+                return self.unet.apply(
+                    unet_params, x, t_vec, deterministic=True, rngs={"moe": k}
+                ).astype(jnp.float32)
 
         if sampler == "dpm++2m":
             z = dpm_solver_sample(
@@ -123,7 +168,7 @@ class DDPMPipeline:
         self.schedule = make_schedule(ddpm_cfg)
         self.prediction = ddpm_cfg.prediction
 
-    @functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6, 7))
+    @functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6, 7, 8))
     def sample(
         self,
         unet_params,
@@ -133,14 +178,22 @@ class DDPMPipeline:
         num_steps: int = 20,
         eta: float = 0.0,
         sampler: str = "ddim",
+        film_cache: bool = True,
     ) -> jnp.ndarray:
         shape = (batch, image_size, image_size, self.unet_cfg.input_channels)
         unet_params = cast_floating(unet_params, self.unet.dtype)
 
-        def denoise(x, t_vec, k):
-            return self.unet.apply(
-                unet_params, x, t_vec, deterministic=True, rngs={"moe": k}
-            ).astype(jnp.float32)
+        if film_cache:
+            denoise = make_cached_denoise(
+                self.unet, unet_params, self.schedule.num_timesteps,
+                num_steps,
+                (1, image_size, image_size, self.unet_cfg.input_channels),
+            )
+        else:
+            def denoise(x, t_vec, k):
+                return self.unet.apply(
+                    unet_params, x, t_vec, deterministic=True, rngs={"moe": k}
+                ).astype(jnp.float32)
 
         if sampler == "dpm++2m":
             x = dpm_solver_sample(
