@@ -15,8 +15,15 @@ stacked [E, C, M] expert tensors — only the selected experts' weights
 are ever read from HBM, matching the lax.switch XLA path's zero-copy
 property while staying a single kernel for any (i, j).
 
-Differentiable via custom VJP (XLA recompute backward, like
-kernels/window_attention.py).
+Large stages (C=1024: 9 CxC weight mats = 18.9MB bf16 > VMEM) are
+handled by a second grid dimension over chunks of the ReGLU hidden dim:
+out = sum_k (a_k * relu(b_k)) @ wc[k] accumulated in an fp32 VMEM
+scratch, with only one hidden chunk's weights resident per grid step.
+The row tile, h, and the accumulator keep constant block indices across
+k, so Mosaic leaves them in VMEM for the whole reduction.
+
+Differentiable via custom VJP (XLA recompute backward, like the other
+kernels in this package).
 """
 from __future__ import annotations
 
@@ -51,46 +58,88 @@ def _kernel(eps, out_dtype):
                gwa, gba, gwb, gbb, gwc, gbc,
                wa1, ba1, wb1, bb1, wc1, bc1,
                wa2, ba2, wb2, bb2, wc2, bc2,
-               out_ref, h_ref):
-        xf = x_ref[:].astype(jnp.float32)
-        mean = jnp.mean(xf, axis=-1, keepdims=True)
-        var = jnp.var(xf, axis=-1, keepdims=True, ddof=1)
-        hn = (xf - mean) * jax.lax.rsqrt(var + eps)
-        h = (
-            hn * mul_ref[:].astype(jnp.float32)
-            + bias_ref[:].astype(jnp.float32)
-        ).astype(out_dtype)
-        h_ref[:] = h
+               out_ref, h_ref, acc_ref):
+        from jax.experimental import pallas as pl
 
-        def reglu(wa_, ba_, wb_, bb_, wc_, bc_):
+        k = pl.program_id(1)
+        nk = pl.num_programs(1)
+
+        @pl.when(k == 0)
+        def _init():
+            xf = x_ref[:].astype(jnp.float32)
+            mean = jnp.mean(xf, axis=-1, keepdims=True)
+            var = jnp.var(xf, axis=-1, keepdims=True, ddof=1)
+            hn = (xf - mean) * jax.lax.rsqrt(var + eps)
+            h = (
+                hn * mul_ref[:].astype(jnp.float32)
+                + bias_ref[:].astype(jnp.float32)
+            ).astype(out_dtype)
+            h_ref[:] = h
+            # output biases are k-independent: fold them into the init
+            acc_ref[:] = jnp.broadcast_to(
+                gbc[:].reshape(1, -1).astype(jnp.float32)
+                + bc1[:].reshape(1, -1).astype(jnp.float32)
+                + bc2[:].reshape(1, -1).astype(jnp.float32),
+                acc_ref.shape,
+            )
+
+        h = h_ref[:]
+
+        def reglu_chunk(wa_, ba_, wb_, bb_, wc_):
+            """One hidden chunk's contribution: (a_k * relu(b_k)) @ wc_k."""
+            m2 = lambda w: w[:].reshape(w.shape[-2], w.shape[-1])
             a = jax.lax.dot_general(
-                h, wa_[:].reshape(wa_.shape[-2], wa_.shape[-1]),
-                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+                h, m2(wa_), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
             ) + ba_[:].reshape(1, -1).astype(jnp.float32)
             b = jax.lax.dot_general(
-                h, wb_[:].reshape(wb_.shape[-2], wb_.shape[-1]),
-                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+                h, m2(wb_), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
             ) + bb_[:].reshape(1, -1).astype(jnp.float32)
             g = (a * jax.nn.relu(b)).astype(out_dtype)
             return jax.lax.dot_general(
-                g, wc_[:].reshape(wc_.shape[-2], wc_.shape[-1]),
-                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-            ) + bc_[:].reshape(1, -1).astype(jnp.float32)
+                g, m2(wc_), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
 
-        out = (
-            reglu(gwa, gba, gwb, gbb, gwc, gbc)
-            + reglu(wa1, ba1, wb1, bb1, wc1, bc1)
-            + reglu(wa2, ba2, wb2, bb2, wc2, bc2)
+        acc_ref[:] += (
+            reglu_chunk(gwa, gba, gwb, gbb, gwc)
+            + reglu_chunk(wa1, ba1, wb1, bb1, wc1)
+            + reglu_chunk(wa2, ba2, wb2, bb2, wc2)
         )
-        out_ref[:] = out.astype(out_dtype)
+
+        @pl.when(k == nk - 1)
+        def _flush():
+            out_ref[:] = acc_ref[:].astype(out_dtype)
 
     return kernel
+
+
+def _pick_tiles(n: int, c: int, m: int):
+    """(tile_rows, hidden_chunk): keep resident weights + tiles within
+    ~12MB of VMEM. Small stages run unchunked (nk=1, the round-1 kernel
+    schedule); C=1024 runs 4 chunks of 256."""
+    tm = min(512, n)
+    mk = m
+    # 3 ReGLUs x (2 [C, mk] + 1 [mk, C]) bf16 weight blocks resident,
+    # double-buffered by Mosaic while streaming
+    weight_bytes = lambda mk_: 9 * c * mk_ * 2 * 2
+    # x/mul/bias/h/out row tiles (bf16) + the fp32 accumulator
+    tile_bytes = lambda tm_: tm_ * c * (5 * 2 + 4)
+    while weight_bytes(mk) + tile_bytes(tm) > 12 * 1024 * 1024:
+        if mk % 2 == 0 and mk > 256:
+            mk //= 2
+        elif tm > 128:
+            tm //= 2
+        else:
+            break
+    return tm, mk
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "tile_rows"))
 def ffn_block_pallas(x, film_mul, film_bias, gwa, gba, gwb, gbb, gwc, gbc,
                      wa, ba, wb, bb, wc, bc, expert_ids,
-                     interpret: bool = False, tile_rows: int = 512):
+                     interpret: bool = False, tile_rows: int = 0):
     """x/film_*: [N, C]; expert_ids: int32 [2]. Returns (out, h)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -98,45 +147,56 @@ def ffn_block_pallas(x, film_mul, film_bias, gwa, gba, gwb, gbb, gwc, gbc,
     n, c = x.shape
     m = wa.shape[-1]
     e = wa.shape[0]
-    tm = min(tile_rows, n)
+    tm, mk = _pick_tiles(n, c, m)
+    if tile_rows:
+        tm = min(tile_rows, n)
     pad = (-n) % tm
     if pad:
         x = jnp.pad(x, ((0, pad), (0, 0)))
         film_mul = jnp.pad(film_mul, ((0, pad), (0, 0)))
         film_bias = jnp.pad(film_bias, ((0, pad), (0, 0)))
     nt = (n + pad) // tm
+    nk = m // mk
 
-    row = lambda: pl.BlockSpec((tm, c), lambda i, s: (i, 0),
+    row = lambda: pl.BlockSpec((tm, c), lambda i, k, s: (i, 0),
                                memory_space=pltpu.VMEM)
-    w_g = lambda d0, d1: pl.BlockSpec((d0, d1), lambda i, s: (0, 0),
-                                      memory_space=pltpu.VMEM)
+    # general weights: chunk index on the hidden dim
+    g_in = lambda: pl.BlockSpec((c, mk), lambda i, k, s: (0, k),
+                                memory_space=pltpu.VMEM)
+    g_out = lambda: pl.BlockSpec((mk, c), lambda i, k, s: (k, 0),
+                                 memory_space=pltpu.VMEM)
+    gb_in = lambda: pl.BlockSpec((1, mk), lambda i, k, s: (0, k),
+                                 memory_space=pltpu.VMEM)
+    gb_out = lambda: pl.BlockSpec((1, c), lambda i, k, s: (0, 0),
+                                  memory_space=pltpu.VMEM)
     # expert-selected slices: scalar-prefetched ids drive the index maps
-    w_e = lambda d0, d1, k: pl.BlockSpec(
-        (1, d0, d1), lambda i, s: (s[k], 0, 0), memory_space=pltpu.VMEM
-    )
+    e_in = lambda j: pl.BlockSpec((1, c, mk), lambda i, k, s: (s[j], 0, k),
+                                  memory_space=pltpu.VMEM)
+    e_out = lambda j: pl.BlockSpec((1, mk, c), lambda i, k, s: (s[j], k, 0),
+                                   memory_space=pltpu.VMEM)
     # stacked expert biases travel as [E, 1, d] so the trailing block
     # dims satisfy the TPU (8, 128) tiling rule
-    b_e = lambda d, k: pl.BlockSpec(
-        (1, 1, d), lambda i, s: (s[k], 0, 0), memory_space=pltpu.VMEM
-    )
+    eb_in = lambda j: pl.BlockSpec((1, 1, mk), lambda i, k, s: (s[j], 0, k),
+                                   memory_space=pltpu.VMEM)
+    eb_out = lambda j: pl.BlockSpec((1, 1, c), lambda i, k, s: (s[j], 0, 0),
+                                    memory_space=pltpu.VMEM)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(nt,),
+        grid=(nt, nk),
         in_specs=[
             row(), row(), row(),
-            w_g(c, m), w_g(1, m), w_g(c, m), w_g(1, m), w_g(m, c), w_g(1, c),
-            w_e(c, m, 0), b_e(m, 0), w_e(c, m, 0), b_e(m, 0),
-            w_e(m, c, 0), b_e(c, 0),
-            w_e(c, m, 1), b_e(m, 1), w_e(c, m, 1), b_e(m, 1),
-            w_e(m, c, 1), b_e(c, 1),
+            g_in(), gb_in(), g_in(), gb_in(), g_out(), gb_out(),
+            e_in(0), eb_in(0), e_in(0), eb_in(0), e_out(0), eb_out(0),
+            e_in(1), eb_in(1), e_in(1), eb_in(1), e_out(1), eb_out(1),
         ],
         out_specs=[
-            pl.BlockSpec((tm, c), lambda i, s: (i, 0),
+            pl.BlockSpec((tm, c), lambda i, k, s: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tm, c), lambda i, s: (i, 0),
+            pl.BlockSpec((tm, c), lambda i, k, s: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
+        scratch_shapes=[pltpu.VMEM((tm, c), jnp.float32)],
     )
     out, h = pl.pallas_call(
         _kernel(1e-4, x.dtype),
@@ -161,17 +221,13 @@ def ffn_block_pallas(x, film_mul, film_bias, gwa, gba, gwb, gbb, gwc, gbc,
 
 def ffn_block(x, film_mul, film_bias, gwa, gba, gwb, gbb, gwc, gbc,
               wa, ba, wb, bb, wc, bc, expert_ids):
-    """Dispatcher: Pallas on TPU (when the weights fit VMEM), XLA
-    composition elsewhere. Differentiable (XLA-recompute VJP on the
-    Pallas path). Returns (ffn_out, h)."""
-    c = x.shape[-1]
-    m = wa.shape[-1]
-    vmem_ok = 9 * c * m * 2 <= 10 * 1024 * 1024  # resident weights, bf16
+    """Dispatcher: Pallas on TPU, XLA composition elsewhere.
+    Differentiable (XLA-recompute VJP on the Pallas path).
+    Returns (ffn_out, h)."""
     if (
         jax.default_backend() in ("tpu", "axon")
-        and c % 128 == 0
-        and m % 128 == 0
-        and vmem_ok
+        and x.shape[-1] % 128 == 0
+        and wa.shape[-1] % 128 == 0
     ):
         return _fused_ffn_block(x, film_mul, film_bias, gwa, gba, gwb, gbb,
                                 gwc, gbc, wa, ba, wb, bb, wc, bc, expert_ids)
