@@ -1,0 +1,179 @@
+"""Serving daemon: HTTP front-end over the dynamic-batching sampler.
+
+The reference has no serving path (its sampler is a sequential batch-1
+script, sample_ldm.py:71); this is additive TPU-first capability: on one
+chip, batched sampling is ~5x the batch-1 throughput, so concurrent
+requests are coalesced into fixed jitted batch buckets
+(ldm_image_generator_tpu/serving.py).
+
+    python -m ldm_image_generator_tpu.cli.serve -dp ddpm.pt -decp dec.pt \
+        --port 8080 --buckets 1 2 4 8
+
+    GET  /healthz                          -> {"ok": true, stats...}
+    GET  /sample?seed=123                  -> image/jpeg
+    POST /sample  {"seed": 123}            -> image/jpeg
+
+Requests are deterministic per seed and independent of how they get
+batched (each request contributes its own x_T via init_noise; eta=0).
+"""
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+
+def build_parser() -> argparse.ArgumentParser:
+    from ldm_image_generator_tpu.cli.common import add_device_arg, str2bool
+
+    p = argparse.ArgumentParser(description="LDM sampling daemon")
+    p.add_argument("-dp", "--ddpmpath", default="./ddpm.pt")
+    p.add_argument("-decp", "--decpath", default="./vae_decoder.pt")
+    add_device_arg(p)
+    p.add_argument("-fp16", default=True, type=str2bool)
+    p.add_argument("-s", "--size", default=256, type=int)
+    p.add_argument("-t", "--timesteps", default=20, type=int)
+    p.add_argument("--sampler", default="ddim", choices=["ddim", "dpm++2m"])
+    p.add_argument("--port", default=8080, type=int)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--buckets", nargs="+", type=int, default=[1, 2, 4, 8])
+    p.add_argument("--max-wait-ms", default=25.0, type=float)
+    p.add_argument("--config", default="default",
+                   choices=["default", "tiny"])
+    from ldm_image_generator_tpu.cli.common import add_diffusion_args
+
+    add_diffusion_args(p)
+    return p
+
+
+def make_sampler(args):
+    """(pipeline_sample(keys, batch), image_size) from CLI args."""
+    import jax
+    import jax.numpy as jnp
+
+    from ldm_image_generator_tpu.cli.common import maybe_load
+    from ldm_image_generator_tpu.config import (
+        DDPMConfig, UNetConfig, VAEConfig,
+    )
+    from ldm_image_generator_tpu.pipelines import LDMPipeline
+    from ldm_image_generator_tpu.utils import torch_import as ti
+
+    ucfg, vcfg = UNetConfig(), VAEConfig()
+    if args.config == "tiny":
+        ucfg, vcfg = ucfg.tiny(), vcfg.tiny()
+    dtype = jnp.bfloat16 if args.fp16 else jnp.float32
+    dcfg = DDPMConfig(prediction=args.prediction,
+                      zero_terminal_snr=args.zero_snr)
+    pipe = LDMPipeline(ucfg, vcfg, dcfg, dtype=dtype)
+
+    key = jax.random.PRNGKey(0)
+    latent = args.size // vcfg.downscale
+    z0 = jnp.zeros((1, latent, latent, ucfg.input_channels))
+    t0 = jnp.zeros((1,), jnp.int32)
+    unet_params = pipe.unet.init({"params": key, "moe": key}, z0, t0)
+    dec_params = pipe.decoder.init(key, z0)
+    unet_params = maybe_load(
+        args.ddpmpath, unet_params, lambda sd: ti.convert_ddpm(sd, ucfg)
+    ) or unet_params
+    dec_params = maybe_load(
+        args.decpath, dec_params, lambda sd: ti.convert_decoder(sd, vcfg)
+    ) or dec_params
+
+    noise_shape = (latent, latent, ucfg.input_channels)
+
+    def pipeline_sample(keys, batch):
+        # per-request determinism: each request's key seeds only its own
+        # x_T; the shared scan key (routing/eta-noise) is fixed
+        noise = jax.vmap(
+            lambda k: jax.random.normal(k, noise_shape, jnp.float32)
+        )(keys)
+        return pipe.sample(
+            unet_params, dec_params, jax.random.PRNGKey(0),
+            batch=batch, image_size=args.size, num_steps=args.timesteps,
+            sampler=args.sampler, init_noise=noise,
+        )
+
+    return pipeline_sample, args.size
+
+
+def make_handler(server, jpeg_encode):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _send(self, code, body, ctype="application/json"):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _sample(self, seed: int):
+            img = server.sample_sync(seed, timeout=600)
+            self._send(200, jpeg_encode(img), "image/jpeg")
+
+        def do_GET(self):
+            url = urlparse(self.path)
+            if url.path == "/healthz":
+                s = server.stats
+                self._send(200, json.dumps({
+                    "ok": True, "requests": s.requests,
+                    "batches": s.batches, "images": s.images,
+                    "mean_batch": round(s.mean_batch, 2),
+                }).encode())
+            elif url.path == "/sample":
+                seed = int(parse_qs(url.query).get("seed", ["0"])[0])
+                self._sample(seed)
+            else:
+                self._send(404, b'{"error": "not found"}')
+
+        def do_POST(self):
+            url = urlparse(self.path)
+            if url.path != "/sample":
+                return self._send(404, b'{"error": "not found"}')
+            n = int(self.headers.get("Content-Length", 0))
+            body = json.loads(self.rfile.read(n) or b"{}")
+            self._sample(int(body.get("seed", 0)))
+
+    return Handler
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    from ldm_image_generator_tpu.cli.common import setup_device
+
+    setup_device(args.device)
+    import numpy as np
+    from PIL import Image
+
+    from ldm_image_generator_tpu.serving import SamplerServer
+
+    pipeline_sample, _ = make_sampler(args)
+    server = SamplerServer(pipeline_sample, batch_buckets=args.buckets,
+                           max_wait_ms=args.max_wait_ms)
+    print("warmup: compiling batch buckets", args.buckets, flush=True)
+    server.warmup()
+    server.start()
+
+    def jpeg_encode(img) -> bytes:
+        buf = io.BytesIO()
+        Image.fromarray(np.asarray(img)).save(buf, format="JPEG",
+                                              quality=95)
+        return buf.getvalue()
+
+    httpd = ThreadingHTTPServer((args.host, args.port),
+                                make_handler(server, jpeg_encode))
+    print(f"serving on http://{args.host}:{args.port}", flush=True)
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -40,10 +40,12 @@ def dpm_solver_sample(
     steps: Optional[Sequence[int]] = None,
     dtype=jnp.float32,
     prediction: str = "eps",
+    init_noise: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """DPM-Solver++(2M). denoise_fn(x, t_vec [1], key) -> model output in
     the `prediction` parameterization ('eps' or 'v'); the solver itself is
-    x0-parameterized, so both convert through pred_to_eps_x0."""
+    x0-parameterized, so both convert through pred_to_eps_x0.
+    init_noise overrides the internally drawn x_T (like ddim_sample)."""
     if steps is None:
         ts = np.linspace(0, schedule.num_timesteps - 1, num_steps).astype(
             np.int32
@@ -58,7 +60,10 @@ def dpm_solver_sample(
     lam = jnp.log(alpha) - jnp.log(sigma)
 
     key, init_key = jax.random.split(key)
-    x = jax.random.normal(init_key, x_shape, dtype=jnp.float32)
+    if init_noise is None:
+        x = jax.random.normal(init_key, x_shape, dtype=jnp.float32)
+    else:
+        x = init_noise.astype(jnp.float32)
 
     def x0_of(x, t, k):
         t_vec = jnp.full((1,), t, dtype=jnp.int32)

@@ -114,6 +114,7 @@ class LDMPipeline:
         eta: float = 0.0,
         sampler: str = "ddim",
         film_cache: bool = True,
+        init_noise: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         """Returns uint8 images [batch, image_size, image_size, 3].
 
@@ -121,7 +122,10 @@ class LDMPipeline:
         multistep — DDIM-20 quality in ~10 steps).
         film_cache: precompute the FiLM conditioning for all sampler
         timesteps before the scan (same numerics, ~370MB/step less HBM
-        weight streaming; see make_cached_denoise)."""
+        weight streaming; see make_cached_denoise).
+        init_noise: explicit x_T [batch, latent, latent, C] — used by the
+        serving layer to give each request its own seed regardless of
+        how requests are batched together."""
         latent = image_size // self.vae_cfg.downscale
         shape = (batch, latent, latent, self.unet_cfg.input_channels)
         unet_params = cast_floating(unet_params, self.unet.dtype)
@@ -141,12 +145,12 @@ class LDMPipeline:
         if sampler == "dpm++2m":
             z = dpm_solver_sample(
                 denoise, self.schedule, key, shape, num_steps=num_steps,
-                prediction=self.prediction,
+                prediction=self.prediction, init_noise=init_noise,
             )
         else:
             z = ddim_sample(
                 denoise, self.schedule, key, shape, num_steps=num_steps,
-                eta=eta, prediction=self.prediction,
+                eta=eta, prediction=self.prediction, init_noise=init_noise,
             )
         img = self.decoder.apply(decoder_params, z)
         return to_uint8(img)
