@@ -137,6 +137,8 @@ class ImageDataset:
         missing = self._missing()
         if not missing:
             return
+        if self._build_cache_native(missing):
+            return
         try:
             import joblib
 
@@ -146,6 +148,38 @@ class ImageDataset:
         except ImportError:
             for i in missing:
                 self._build_one(i)
+
+    def _build_cache_native(self, missing: List[int]) -> bool:
+        """Build via the C++ thread-pooled batch API (one C call per
+        chunk: file IO + decode + resize + pad native, GIL released for
+        the whole chunk). Images the native decoder rejects fall back to
+        the PIL path individually. Returns False if the library isn't
+        available (caller uses the joblib-threads path)."""
+        from ldm_image_generator_tpu.data.native_loader import (
+            preprocess_batch_native,
+        )
+
+        chunk = 256
+        threads = 0 if self.n_workers in (-1, 0) else self.n_workers
+        for start in range(0, len(missing), chunk):
+            idxs = missing[start:start + chunk]
+            res = preprocess_batch_native(
+                [self.paths[i] for i in idxs], self.size, threads
+            )
+            if res is None:
+                return False
+            imgs, status = res
+            for j, i in enumerate(idxs):
+                if status[j] == 0:
+                    self._write_atomic(
+                        self._cache_paths[i], imgs[j].astype(np.float16)
+                    )
+                else:
+                    try:
+                        self._build_one(i)  # PIL fallback per image
+                    except Exception:
+                        pass  # __getitem__ falls back to item 0
+        return True
 
     # -- access -----------------------------------------------------------
     def __len__(self) -> int:

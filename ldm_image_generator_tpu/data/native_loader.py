@@ -52,6 +52,16 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int,
             ctypes.POINTER(ctypes.c_float),
         ]
+        if hasattr(lib, "ldm_preprocess_batch"):
+            lib.ldm_preprocess_batch.restype = ctypes.c_int
+            lib.ldm_preprocess_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p),
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_int),
+                ctypes.c_int,
+            ]
         _lib = lib
     except OSError:
         return None
@@ -60,6 +70,36 @@ def _load() -> Optional[ctypes.CDLL]:
 
 def available() -> bool:
     return _load() is not None
+
+
+def preprocess_batch_native(
+    paths, size: int, num_threads: int = 0, out: Optional[np.ndarray] = None
+):
+    """Thread-pooled native batch preprocess: one C call per batch (file
+    IO + decode + resize + pad all in C++, GIL released for the whole
+    batch, scaling across cores with zero per-image Python dispatch).
+
+    Returns (images float32 [n, size, size, 3], status int32 [n] with
+    0 = ok) or None if the library is unavailable. `out` may supply a
+    preallocated (e.g. pinned) destination buffer."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "ldm_preprocess_batch"):
+        return None
+    n = len(paths)
+    if out is None:
+        out = np.empty((n, size, size, 3), dtype=np.float32)
+    assert out.shape == (n, size, size, 3) and out.dtype == np.float32
+    status = np.zeros(n, dtype=np.int32)
+    arr = (ctypes.c_char_p * n)(
+        *[os.fsencode(p) for p in paths]
+    )
+    lib.ldm_preprocess_batch(
+        arr, n, size,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        num_threads,
+    )
+    return out, status
 
 
 def preprocess_image_native(path: str, size: int) -> Optional[np.ndarray]:

@@ -12,12 +12,14 @@
 //
 // Build: see native/build.sh (g++ -O3 -shared, links libjpeg + libpng).
 
+#include <atomic>
 #include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
 #include <csetjmp>
+#include <thread>
 #include <vector>
 
 #include <jpeglib.h>
@@ -245,6 +247,61 @@ int ldm_decode_size(const uint8_t* data, size_t len, int* w, int* h) {
   *w = img.w;
   *h = img.h;
   return 0;
+}
+
+// Thread-pooled batch preprocessing with file IO done natively:
+//   paths    : n NUL-terminated file paths
+//   size     : target square size
+//   out      : float32 buffer [n, size, size, 3] (caller-allocated; may
+//              be a pinned host buffer for direct device transfer)
+//   status   : int[n], 0 = ok, nonzero = read/decode failure (that
+//              image's slot is left all -1 black)
+//   threads  : pool width; <= 0 uses hardware_concurrency
+// One C call per batch: the GIL is released for the whole batch and
+// decode/resize/pad runs across cores without Python dispatch per image.
+int ldm_preprocess_batch(const char** paths, int n, int size, float* out,
+                         int* status, int threads) {
+  if (n <= 0) return 0;
+  int pool = threads > 0 ? threads
+                         : int(std::thread::hardware_concurrency());
+  if (pool < 1) pool = 1;
+  if (pool > n) pool = n;
+  const size_t per = size_t(size) * size * 3;
+  std::atomic<int> next(0);
+  std::atomic<int> failures(0);
+
+  auto worker = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n) return;
+      float* dst = out + size_t(i) * per;
+      status[i] = 1;
+      FILE* f = fopen(paths[i], "rb");
+      if (f) {
+        fseek(f, 0, SEEK_END);
+        long len = ftell(f);
+        fseek(f, 0, SEEK_SET);
+        if (len > 0) {
+          std::vector<uint8_t> buf(static_cast<size_t>(len), 0);
+          if (fread(buf.data(), 1, size_t(len), f) == size_t(len)) {
+            status[i] =
+                ldm_preprocess(buf.data(), buf.size(), size, dst);
+          }
+        }
+        fclose(f);
+      }
+      if (status[i] != 0) {
+        for (size_t j = 0; j < per; ++j) dst[j] = -1.0f;
+        failures.fetch_add(1);
+      }
+    }
+  };
+
+  std::vector<std::thread> ts;
+  ts.reserve(pool);
+  for (int t = 0; t < pool; ++t) ts.emplace_back(worker);
+  for (auto& t : ts) t.join();
+  return failures.load();
 }
 
 }  // extern "C"

@@ -125,3 +125,58 @@ def test_native_pipeline_corrupt_returns_none(tmp_path):
     p = tmp_path / "bad.jpg"
     p.write_bytes(b"\xff\xd8 garbage not a real jpeg")
     assert native_loader.preprocess_image_native(str(p), 8) is None
+
+
+def test_native_batch_api_matches_single(imgdir, tmp_path):
+    from PIL import Image
+
+    from ldm_image_generator_tpu.data.native_loader import (
+        available,
+        preprocess_batch_native,
+        preprocess_image_native,
+    )
+
+    if not available():
+        pytest.skip("native library not built")
+    # mix of formats + one corrupt file
+    png = tmp_path / "x.png"
+    Image.fromarray(np.full((12, 9, 3), 80, np.uint8)).save(png)
+    bad = tmp_path / "bad.jpg"
+    bad.write_bytes(b"not an image at all")
+    paths = [str(imgdir / "0.jpg"), str(png), str(bad),
+             str(imgdir / "1.jpg")]
+    res = preprocess_batch_native(paths, 16, num_threads=3)
+    assert res is not None
+    imgs, status = res
+    assert imgs.shape == (4, 16, 16, 3) and imgs.dtype == np.float32
+    assert list(status != 0) == [False, False, True, False]
+    # per-image equality with the single-image native call
+    for i in (0, 1, 3):
+        single = preprocess_image_native(paths[i], 16)
+        np.testing.assert_array_equal(imgs[i], single)
+    # failed slot is all black (-1)
+    assert np.all(imgs[2] == -1.0)
+
+
+def test_dataset_cache_built_via_native_batch(imgdir, tmp_path):
+    """The cache built through the C++ batch path must byte-match the
+    per-image build (same preprocess, same float16 cache format)."""
+    from ldm_image_generator_tpu.data import dataset as ds_mod
+    from ldm_image_generator_tpu.data.native_loader import available
+
+    if not available():
+        pytest.skip("native library not built")
+    ds_a = ImageDataset([str(imgdir)], cache_dir=str(tmp_path / "a"), size=16)
+    # force the joblib/PIL-or-single-native path for comparison
+    ds_b = ImageDataset.__new__(ImageDataset)
+    ds_b.source_dirs = [str(imgdir)]
+    ds_b.cache_dir = str(tmp_path / "b")
+    ds_b.size = 16
+    ds_b.n_workers = 1
+    ds_b.paths = ds_a.paths
+    os.makedirs(ds_b.cache_dir, exist_ok=True)
+    ds_b._cache_paths = [ds_b._cache_path(p) for p in ds_b.paths]
+    for i in range(len(ds_b.paths)):
+        ds_b._build_one(i)
+    for i in range(len(ds_a)):
+        np.testing.assert_array_equal(ds_a[i], ds_b[i])
