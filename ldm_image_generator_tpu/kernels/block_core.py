@@ -1,0 +1,391 @@
+"""SwinBlock core megakernel (Pallas TPU): norm + FiLM + MoE FFN +
+grouped 3x3 conv + residual in ONE kernel.
+
+Covers the whole non-attention body of a SwinBlock (unet.py:38-48
+semantics):
+
+    h   = channel_norm(x) * film_mul + film_bias
+    out = [x +] ReGLU_general(h) + ReGLU_e1(h) + ReGLU_e2(h) + conv3x3(h)
+
+and returns (out, h) — attention blocks add window-attention(h) outside
+(8 of the default 36 blocks), everything else is done when the kernel
+returns. Motivation (measured, docs/PERF.md): at batch 1 the denoise
+step is dominated by per-op dispatch across ~36 blocks and by HBM
+round-trips of h / branch partial sums; at batch 64 the same traffic is
+bandwidth. One kernel per block removes both.
+
+Layout strategy:
+  * Grid (batch_tiles, hidden_chunks). Each grid step holds `bt` whole
+    images [bt, H, W, C] in VMEM, so the 3x3 conv needs no halo
+    exchange: spatial pad + 9 shifted slices stay in VMEM (probed: exact
+    vs lax.conv on hardware).
+  * The conv uses the same 128-wide block-diagonal repack as
+    GroupedConv2d (4x nominal FLOPs, ~10x MXU utilization): per output
+    block g, sum over 9 taps of shifted_h[:, g*128:(g+1)*128] @ W[t, g].
+  * MoE FFN: hidden-dim chunked accumulation with scalar-prefetched
+    expert ids exactly as kernels/ffn_block.py; fp32 VMEM accumulator.
+  * FiLM tensors arrive at their natural batch (1 during sampling via
+    the FiLM schedule cache) and broadcast in VMEM — the unfused path
+    materializes the [B, H, W, C] broadcast in HBM.
+
+Differentiable via custom VJP: backward recomputes through the XLA
+reference composition (plain grouped lax.conv + matmuls), so training
+gradients stay exact.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ldm_image_generator_tpu.kernels.ffn_block import ffn_block_xla
+
+
+def block_core_xla(x, film_mul, film_bias,
+                   gwa, gba, gwb, gbb, gwc, gbc,
+                   wa, ba, wb, bb, wc, bc,
+                   conv_kernel, conv_bias, e1, e2,
+                   add_residual: bool = True):
+    """Reference composition. x/film: [B,H,W,C]; conv_kernel:
+    [3, 3, gw, C] grouped-HWIO (GroupedConv2d layout). Returns (out, h)
+    with out = [x +] ffn(h) + conv(h)."""
+    b, hh, ww, c = x.shape
+    rows = lambda v: jnp.broadcast_to(v, x.shape).reshape(-1, c)
+    ffn, h = ffn_block_xla(
+        x.reshape(-1, c), rows(film_mul), rows(film_bias),
+        gwa, gba, gwb, gbb, gwc, gbc, wa, ba, wb, bb, wc, bc, e1, e2,
+    )
+    h4 = h.reshape(x.shape)
+    gw = conv_kernel.shape[2]
+    conv = jax.lax.conv_general_dilated(
+        h4, conv_kernel.astype(h4.dtype), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c // gw,
+        preferred_element_type=jnp.float32,
+    ) + conv_bias.astype(jnp.float32)
+    out = ffn.reshape(x.shape).astype(jnp.float32) + conv
+    if add_residual:
+        out = out + x.astype(jnp.float32)
+    return out.astype(x.dtype), h4
+
+
+def repack_conv_blocks(conv_kernel: jnp.ndarray, pw: int = 128):
+    """[3, 3, gw, C] grouped kernel -> [9 * (C//pw), pw, pw] block-
+    diagonal tap matrices (the GroupedConv2d repack, reshaped for
+    per-tap per-block matmuls inside the kernel)."""
+    kh, kw, gw, c = conv_kernel.shape
+    gb = c // pw
+    if gw == pw:
+        wbig = conv_kernel
+    else:
+        m = pw // gw
+        eye = jnp.eye(m, dtype=conv_kernel.dtype)
+        wr = conv_kernel.reshape(kh, kw, gw, gb, m, gw)
+        wbig = jnp.einsum("hwibqo,pq->hwpibqo", wr, eye).reshape(
+            kh, kw, pw, c
+        )
+    # [3,3,pw,C] -> [9, pw, gb, pw] -> [9*gb, pw, pw]
+    return (
+        wbig.reshape(kh * kw, pw, gb, pw)
+        .transpose(0, 2, 1, 3)
+        .reshape(kh * kw * gb, pw, pw)
+    )
+
+
+def _kernel(eps, out_dtype, bt, hh, ww, c, gb, film_b1, add_residual):
+    rows = bt * hh * ww
+
+    def kernel(sidx, x_ref, mul_ref, bias_ref,
+               gwa, gba, gwb, gbb, gwc, gbc,
+               wa1, ba1, wb1, bb1, wc1, bc1,
+               wa2, ba2, wb2, bb2, wc2, bc2,
+               wconv, bconv,
+               out_ref, h_ref, acc_ref):
+        from jax.experimental import pallas as pl
+
+        k = pl.program_id(1)
+        nk = pl.num_programs(1)
+
+        @pl.when(k == 0)
+        def _init():
+            xf = x_ref[:].astype(jnp.float32)
+            xr = xf.reshape(rows, c)
+            mean = jnp.mean(xr, axis=-1, keepdims=True)
+            var = jnp.var(xr, axis=-1, keepdims=True, ddof=1)
+            hn = (xr - mean) * jax.lax.rsqrt(var + eps)
+            mul4 = mul_ref[:].astype(jnp.float32)
+            bia4 = bias_ref[:].astype(jnp.float32)
+            if film_b1:
+                mul4 = jnp.broadcast_to(mul4, (bt, hh, ww, c))
+                bia4 = jnp.broadcast_to(bia4, (bt, hh, ww, c))
+            h = (
+                hn * mul4.reshape(rows, c) + bia4.reshape(rows, c)
+            ).astype(out_dtype)
+            h_ref[:] = h.reshape(bt, hh, ww, c)
+
+            # 3x3 block-diagonal grouped conv, 9 shifted-slice matmuls
+            hp = jnp.pad(
+                h.reshape(bt, hh, ww, c), ((0, 0), (1, 1), (1, 1), (0, 0))
+            )
+            conv = jnp.zeros((rows, c), jnp.float32)
+            for ky in range(3):
+                for kx in range(3):
+                    sh = hp[:, ky:ky + hh, kx:kx + ww, :].reshape(rows, c)
+                    parts = []
+                    for g in range(gb):
+                        blk = wconv[(ky * 3 + kx) * gb + g]
+                        parts.append(jax.lax.dot_general(
+                            sh[:, g * 128:(g + 1) * 128], blk,
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        ))
+                    conv = conv + (
+                        parts[0] if gb == 1
+                        else jnp.concatenate(parts, axis=-1)
+                    )
+
+            base = conv + bconv[:].reshape(1, c).astype(jnp.float32) + (
+                gbc[:].reshape(1, -1).astype(jnp.float32)
+                + bc1[:].reshape(1, -1).astype(jnp.float32)
+                + bc2[:].reshape(1, -1).astype(jnp.float32)
+            )
+            if add_residual:
+                base = base + xr
+            acc_ref[:] = base
+
+        h = h_ref[:].reshape(rows, c)
+
+        def reglu_chunk(wa_, ba_, wb_, bb_, wc_):
+            m2 = lambda w: w[:].reshape(w.shape[-2], w.shape[-1])
+            a = jax.lax.dot_general(
+                h, m2(wa_), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + ba_[:].reshape(1, -1).astype(jnp.float32)
+            b = jax.lax.dot_general(
+                h, m2(wb_), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + bb_[:].reshape(1, -1).astype(jnp.float32)
+            g = (a * jax.nn.relu(b)).astype(out_dtype)
+            return jax.lax.dot_general(
+                g, m2(wc_), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        acc_ref[:] += (
+            reglu_chunk(gwa, gba, gwb, gbb, gwc)
+            + reglu_chunk(wa1, ba1, wb1, bb1, wc1)
+            + reglu_chunk(wa2, ba2, wb2, bb2, wc2)
+        )
+
+        @pl.when(k == nk - 1)
+        def _flush():
+            out_ref[:] = acc_ref[:].reshape(bt, hh, ww, c).astype(out_dtype)
+
+    return kernel
+
+
+def _pick_tiles(b: int, hw: int, c: int, m: int, film_b1: bool):
+    """(batch_tile, hidden_chunk) under a ~10MB VMEM budget (the chip
+    has 16MB scoped vmem; leave headroom for Mosaic's own stack).
+    Every block whose index map varies across the grid is double-
+    buffered by Mosaic: x, film (unless batch-1), h, out, and the
+    streamed weight chunks. The fp32 accumulator is single."""
+    bt = b
+    mk = m
+    weight_bytes = lambda mk_: 9 * c * mk_ * 2 * 2 + 9 * c * 128 * 2
+    film_bytes = lambda bt_: (
+        2 * hw * c * 2 if film_b1 else 2 * bt_ * hw * c * 2 * 2
+    )
+    tile_bytes = lambda bt_: (
+        bt_ * hw * c * (3 * 2 * 2 + 4) + film_bytes(bt_)
+    )
+    while weight_bytes(mk) + tile_bytes(bt) > 12 * 1024 * 1024:
+        if bt % 2 == 0 and bt > 1:
+            bt //= 2
+        elif mk % 2 == 0 and mk > 256:
+            mk //= 2
+        else:
+            break
+    fits = weight_bytes(mk) + tile_bytes(bt) <= 12 * 1024 * 1024
+    return bt, mk, fits
+
+
+def block_core_supported(x_shape, hidden: int, group_width: int,
+                         film_batch: int) -> bool:
+    """Whether the megakernel is the right backend for this shape.
+
+    Measured regime split (docs/PERF.md): the whole-block kernel wins
+    where per-op dispatch dominates — batch <= 2 denoise steps (b1
+    latent-32 1.91 -> 1.72 ms/step; b1 latent-64 2.95 -> 2.30) — and
+    loses at larger batches where XLA's batched grouped conv is already
+    compute-efficient (b8 3.44 -> 3.67; b64 regressed). Larger batches
+    use the fused-FFN kernel + XLA conv instead."""
+    b, hh, ww, c = x_shape
+    return (
+        jax.default_backend() in ("tpu", "axon")
+        and b <= 2
+        and c % 128 == 0
+        and hidden % 128 == 0
+        and 128 % group_width == 0
+        and _pick_tiles(b, hh * ww, c, hidden, film_batch == 1)[2]
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("add_residual", "interpret", "batch_tile")
+)
+def block_core_pallas(x, film_mul, film_bias,
+                      gwa, gba, gwb, gbb, gwc, gbc,
+                      wa, ba, wb, bb, wc, bc,
+                      conv_kernel, conv_bias, expert_ids,
+                      add_residual: bool = True,
+                      interpret: bool = False,
+                      batch_tile: int = 0):
+    """x: [B,H,W,C]; film_mul/bias: [1 or B, H, W, C]; conv_kernel:
+    [3,3,gw,C]; expert_ids: int32 [2]. Returns (out, h), both [B,H,W,C].
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, hh, ww, c = x.shape
+    m = wa.shape[-1]
+    e = wa.shape[0]
+    film_b1 = film_mul.shape[0] == 1
+    bt, mk, _ = _pick_tiles(b, hh * ww, c, m, film_b1)
+    if batch_tile:
+        bt = batch_tile
+    while b % bt:
+        bt -= 1
+    nb = b // bt
+    nk = m // mk
+    gb = c // 128
+    wblk = repack_conv_blocks(conv_kernel.astype(x.dtype))
+
+    img = lambda: pl.BlockSpec((bt, hh, ww, c), lambda i, k, s: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM)
+    film = lambda: pl.BlockSpec(
+        (1 if film_b1 else bt, hh, ww, c),
+        (lambda i, k, s: (0, 0, 0, 0)) if film_b1
+        else (lambda i, k, s: (i, 0, 0, 0)),
+        memory_space=pltpu.VMEM,
+    )
+    g_in = lambda: pl.BlockSpec((c, mk), lambda i, k, s: (0, k),
+                                memory_space=pltpu.VMEM)
+    g_out = lambda: pl.BlockSpec((mk, c), lambda i, k, s: (k, 0),
+                                 memory_space=pltpu.VMEM)
+    gb_in = lambda: pl.BlockSpec((1, mk), lambda i, k, s: (0, k),
+                                 memory_space=pltpu.VMEM)
+    gb_out = lambda: pl.BlockSpec((1, c), lambda i, k, s: (0, 0),
+                                  memory_space=pltpu.VMEM)
+    e_in = lambda j: pl.BlockSpec((1, c, mk), lambda i, k, s: (s[j], 0, k),
+                                  memory_space=pltpu.VMEM)
+    e_out = lambda j: pl.BlockSpec((1, mk, c), lambda i, k, s: (s[j], k, 0),
+                                   memory_space=pltpu.VMEM)
+    eb_in = lambda j: pl.BlockSpec((1, 1, mk), lambda i, k, s: (s[j], 0, k),
+                                   memory_space=pltpu.VMEM)
+    eb_out = lambda j: pl.BlockSpec((1, 1, c), lambda i, k, s: (s[j], 0, 0),
+                                    memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb, nk),
+        in_specs=[
+            img(), film(), film(),
+            g_in(), gb_in(), g_in(), gb_in(), g_out(), gb_out(),
+            e_in(0), eb_in(0), e_in(0), eb_in(0), e_out(0), eb_out(0),
+            e_in(1), eb_in(1), e_in(1), eb_in(1), e_out(1), eb_out(1),
+            pl.BlockSpec(wblk.shape, lambda i, k, s: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i, k, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bt, hh, ww, c), lambda i, k, s: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, hh, ww, c), lambda i, k, s: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[pltpu.VMEM((bt * hh * ww, c), jnp.float32)],
+    )
+    out, h = pl.pallas_call(
+        _kernel(1e-4, x.dtype, bt, hh, ww, c, gb, film_b1, add_residual),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hh, ww, c), x.dtype),
+            jax.ShapeDtypeStruct((b, hh, ww, c), x.dtype),
+        ],
+        interpret=interpret,
+    )(
+        expert_ids.astype(jnp.int32),
+        x, film_mul, film_bias,
+        gwa, gba.reshape(1, m), gwb, gbb.reshape(1, m), gwc,
+        gbc.reshape(1, c),
+        wa, ba.reshape(e, 1, m), wb, bb.reshape(e, 1, m),
+        wc, bc.reshape(e, 1, c),
+        wa, ba.reshape(e, 1, m), wb, bb.reshape(e, 1, m),
+        wc, bc.reshape(e, 1, c),
+        wblk, conv_bias.reshape(1, c),
+    )
+    return out, h
+
+
+def block_core(x, film_mul, film_bias, gwa, gba, gwb, gbb, gwc, gbc,
+               wa, ba, wb, bb, wc, bc, conv_kernel, conv_bias, expert_ids,
+               add_residual: bool = True):
+    """Dispatcher: Pallas megakernel on TPU when shapes qualify, XLA
+    composition elsewhere. Differentiable (XLA-recompute VJP on the
+    Pallas path). Returns (out, h)."""
+    if block_core_supported(x.shape, wa.shape[-1], conv_kernel.shape[2],
+                            film_mul.shape[0]):
+        return _fused_block_core(
+            x, film_mul, film_bias, gwa, gba, gwb, gbb, gwc, gbc,
+            wa, ba, wb, bb, wc, bc, conv_kernel, conv_bias, expert_ids,
+            add_residual,
+        )
+    return block_core_xla(
+        x, film_mul, film_bias, gwa, gba, gwb, gbb, gwc, gbc,
+        wa, ba, wb, bb, wc, bc, conv_kernel, conv_bias,
+        expert_ids[0], expert_ids[1], add_residual,
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(18,))
+def _fused_block_core(x, film_mul, film_bias, gwa, gba, gwb, gbb, gwc, gbc,
+                      wa, ba, wb, bb, wc, bc, conv_kernel, conv_bias,
+                      expert_ids, add_residual):
+    return block_core_pallas(
+        x, film_mul, film_bias, gwa, gba, gwb, gbb, gwc, gbc,
+        wa, ba, wb, bb, wc, bc, conv_kernel, conv_bias, expert_ids,
+        add_residual=add_residual,
+    )
+
+
+def _bc_fwd(x, film_mul, film_bias, gwa, gba, gwb, gbb, gwc, gbc,
+            wa, ba, wb, bb, wc, bc, conv_kernel, conv_bias, expert_ids,
+            add_residual):
+    out = block_core_pallas(
+        x, film_mul, film_bias, gwa, gba, gwb, gbb, gwc, gbc,
+        wa, ba, wb, bb, wc, bc, conv_kernel, conv_bias, expert_ids,
+        add_residual=add_residual,
+    )
+    return out, (x, film_mul, film_bias, gwa, gba, gwb, gbb, gwc, gbc,
+                 wa, ba, wb, bb, wc, bc, conv_kernel, conv_bias, expert_ids)
+
+
+def _bc_bwd(add_residual, res, g):
+    (x, film_mul, film_bias, gwa, gba, gwb, gbb, gwc, gbc,
+     wa, ba, wb, bb, wc, bc, conv_kernel, conv_bias, expert_ids) = res
+    e1, e2 = expert_ids[0], expert_ids[1]
+    # film tensors may be batch-broadcast inside; vjp against the
+    # original (possibly batch-1) shapes sums the cotangents correctly
+    _, vjp = jax.vjp(
+        lambda *diff: block_core_xla(*diff, e1, e2, add_residual),
+        x, film_mul, film_bias, gwa, gba, gwb, gbb, gwc, gbc,
+        wa, ba, wb, bb, wc, bc, conv_kernel, conv_bias,
+    )
+    grads = vjp(g)
+    return grads + (None,)
+
+
+_fused_block_core.defvjp(_bc_fwd, _bc_bwd)

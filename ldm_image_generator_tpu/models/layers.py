@@ -231,6 +231,9 @@ class RandomMoE(nn.Module):
         expert_indices: Optional[jnp.ndarray] = None,
         film_mul: Optional[jnp.ndarray] = None,
         film_bias: Optional[jnp.ndarray] = None,
+        conv_kernel: Optional[jnp.ndarray] = None,
+        conv_bias: Optional[jnp.ndarray] = None,
+        add_residual: bool = False,
     ):
         """Standard call: x is the (already normalized + FiLMed) input,
         returns general(x) + e_i(x) + e_j(x).
@@ -239,6 +242,11 @@ class RandomMoE(nn.Module):
         channel_norm + FiLM + the three ReGLUs run as one Pallas kernel
         on TPU (kernels/ffn_block.py); returns (ffn_out, h) where h is
         the normalized+FiLMed activation for the sibling branches.
+
+        Megakernel call (additionally conv_kernel/conv_bias given): the
+        sibling grouped 3x3 conv branch and (optionally) the residual
+        fold into the same kernel (kernels/block_core.py); returns
+        ([x +] ffn + conv, h).
         """
         if expert_indices is None and self.fixed_expert_indices is not None:
             expert_indices = jnp.asarray(self.fixed_expert_indices)
@@ -267,24 +275,35 @@ class RandomMoE(nn.Module):
         pairs = [(i, j) for i in range(e) for j in range(i + 1, e)]
 
         if film_mul is not None:
-            # fused path (norm + FiLM + FFN)
-            from ldm_image_generator_tpu.kernels.ffn_block import ffn_block
-
+            # fused path (norm + FiLM + FFN [+ conv + residual])
             if expert_indices is None:
                 rng = self.make_rng("moe")
                 pair_id = jax.random.randint(rng, (), 0, len(pairs))
                 pair_table = jnp.asarray(pairs, dtype=jnp.int32)
                 expert_indices = pair_table[pair_id]
-            b, hh, ww, _ = x.shape
-            flat = lambda v: jnp.broadcast_to(v, x.shape).reshape(-1, c)
+            ids = jnp.asarray(expert_indices, dtype=jnp.int32)
             cast = lambda w: w.astype(dt)
-            out, h = ffn_block(
-                x.reshape(-1, c).astype(dt), flat(film_mul.astype(dt)),
-                flat(film_bias.astype(dt)),
+            ffn_w = (
                 cast(gwa), cast(gba), cast(gwb), cast(gbb), cast(gwc),
                 cast(gbc), cast(wa), cast(ba), cast(wb), cast(bb),
                 cast(wc), cast(bc),
-                jnp.asarray(expert_indices, dtype=jnp.int32),
+            )
+            if conv_kernel is not None:
+                from ldm_image_generator_tpu.kernels.block_core import (
+                    block_core,
+                )
+
+                return block_core(
+                    x.astype(dt), film_mul.astype(dt), film_bias.astype(dt),
+                    *ffn_w, conv_kernel.astype(dt), conv_bias.astype(dt),
+                    ids, add_residual=add_residual,
+                )
+            from ldm_image_generator_tpu.kernels.ffn_block import ffn_block
+
+            flat = lambda v: jnp.broadcast_to(v, x.shape).reshape(-1, c)
+            out, h = ffn_block(
+                x.reshape(-1, c).astype(dt), flat(film_mul.astype(dt)),
+                flat(film_bias.astype(dt)), *ffn_w, ids,
             )
             return out.reshape(x.shape), h.reshape(x.shape)
 
@@ -395,18 +414,28 @@ class GroupedConv2d(nn.Module):
     packed_width: int = 128
     dtype: Dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, x):
+    def setup(self):
         c = self.channels
         gw = min(self.group_width, c)
         kh = kw = self.kernel_size
-        kernel = self.param(
+        self.kernel = self.param(
             "kernel",
             nn.initializers.lecun_normal(in_axis=(0, 1, 2), out_axis=3),
             (kh, kw, gw, c),
         )
-        bias = self.param("bias", nn.initializers.zeros, (c,))
-        kernel = kernel.astype(self.dtype)
+        self.bias = self.param("bias", nn.initializers.zeros, (c,))
+
+    def raw(self):
+        """(kernel [kh,kw,gw,C], bias [C]) in the compute dtype — consumed
+        by the block_core megakernel, which does its own repacking."""
+        return self.kernel.astype(self.dtype), self.bias.astype(self.dtype)
+
+    def __call__(self, x):
+        c = self.channels
+        gw = min(self.group_width, c)
+        kh = kw = self.kernel_size
+        kernel = self.kernel.astype(self.dtype)
+        bias = self.bias
         x = x.astype(self.dtype)
 
         pw = self.packed_width
@@ -513,12 +542,49 @@ class SwinBlock(nn.Module):
             # inside the kernel, so there is no VMEM cap here
             and c % 128 == 0
         )
+        conv = GroupedConv2d(
+            c,
+            group_width=min(self.head_dim, c),
+            dtype=self.dtype,
+            name="conv",
+        )
+        # megakernel (kernels/block_core.py): also folds the conv branch
+        # and — when no stochastic-depth gate / cross-attention will apply
+        # to the branch — the residual, leaving at most window attention
+        # outside the kernel. Engaged only in its measured winning regime
+        # (small batches; see block_core_supported).
+        from ldm_image_generator_tpu.kernels.block_core import (
+            block_core_supported,
+        )
+
+        film_batch = film[0].shape[0] if film is not None else t.shape[0]
+        fuse_conv = (
+            fuse_ffn
+            and self._on("conv")
+            and block_core_supported(
+                x.shape, c * self.ffn_mul, min(self.head_dim, c), film_batch
+            )
+        )
+        fold_res = (
+            (deterministic or self.stochastic_depth == 0.0) and cond is None
+        )
+        conv_done = res_folded = False
         if fuse_ffn:
-            with jax.named_scope("ffn_fused"):
-                mul, bias = (
-                    film if film is not None else enc(x, t, return_film=True)
-                )
-                branch, h = moe(x, film_mul=mul, film_bias=bias)
+            mul, bias = (
+                film if film is not None else enc(x, t, return_film=True)
+            )
+            if fuse_conv:
+                with jax.named_scope("block_core"):
+                    ck, cb = conv.raw()
+                    branch, h = moe(
+                        x, film_mul=mul, film_bias=bias,
+                        conv_kernel=ck, conv_bias=cb,
+                        add_residual=fold_res,
+                    )
+                conv_done, res_folded = True, fold_res
+            else:
+                with jax.named_scope("ffn_fused"):
+                    branch, h = moe(x, film_mul=mul, film_bias=bias)
         else:
             with jax.named_scope("norm_film"):
                 h = channel_norm(x) if self._on("norm") else x
@@ -535,17 +601,12 @@ class SwinBlock(nn.Module):
             else:
                 _ = moe(h[:, :1, :1, :])
                 branch = jnp.zeros_like(h)
-        conv = GroupedConv2d(
-            c,
-            group_width=min(self.head_dim, c),
-            dtype=self.dtype,
-            name="conv",
-        )
-        if self._on("conv"):
-            with jax.named_scope("grouped_conv"):
-                branch = branch + conv(h)
-        else:
-            _ = conv(h[:, :3, :3, :])
+        if not conv_done:
+            if self._on("conv"):
+                with jax.named_scope("grouped_conv"):
+                    branch = branch + conv(h)
+            else:
+                _ = conv(h[:, :3, :3, :])
         if self.attention:
             use_fused = self.attention_backend == "pallas"
             wattn = WindowAttention(
@@ -578,11 +639,12 @@ class SwinBlock(nn.Module):
                 )
 
         if not deterministic and self.stochastic_depth > 0.0:
+            # res_folded is never true here (fold_res excludes this case)
             keep = (
                 jax.random.uniform(self.make_rng("sd"), ()) > self.stochastic_depth
             )
             branch = branch * keep.astype(branch.dtype)
-        return res + branch
+        return branch if res_folded else res + branch
 
 
 class SwinStack(nn.Module):
