@@ -36,8 +36,9 @@ class UNetConfig:
     # Debug/profiling: SwinBlock branch names to skip at apply time
     # ('norm','film','moe','conv','attn'); params still created.
     ablate_branches: "tuple | None" = None
-    # 'pallas' opts into the fused Pallas window-attention kernel;
-    # 'auto'/'xla' use XLA's lowering (faster at the default window size).
+    # 'auto': fused Pallas window attention on stages where it measures
+    # faster than XLA (<= 4 heads — the C=128 stage; benchmarks/
+    # attn_shapes.py); 'pallas'/'xla' force one backend everywhere.
     attention_backend: str = "auto"
     # 'auto'/'pallas': fused channel_norm+FiLM+MoE-FFN Pallas kernel per
     # block on TPU (kernels/ffn_block.py, -18% denoise step); 'xla' off.

@@ -57,7 +57,12 @@ class MultiHeadAttention(nn.Module):
 
     channels: int
     num_heads: int
-    use_fused: bool = False  # Pallas fused path for self-attention on TPU
+    # 'auto': fused Pallas self-attention where it measures faster than
+    # XLA's lowering — <= 4 heads (benchmarks/attn_shapes.py at b64:
+    # 4 heads 2.21 vs 3.62 ms, 8 heads ~tie, 16 heads 12% slower; the
+    # static per-head loop in the kernel is the scaling limit).
+    # 'pallas'/'xla' force the backend.
+    backend: str = "auto"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -79,8 +84,11 @@ class MultiHeadAttention(nn.Module):
             w.astype(dt) for w in (wq, bq, wk, bk, wv, bv, wo, bo)
         )
 
+        use_fused = self.backend == "pallas" or (
+            self.backend == "auto" and h <= 4
+        )
         if (
-            self.use_fused
+            use_fused
             and q_in is kv_in
             and c % 128 == 0
             and jax.default_backend() in ("tpu", "axon")
@@ -136,7 +144,7 @@ class WindowAttention(nn.Module):
     num_heads: int
     window_size: int = 6
     shift: int = 0
-    use_fused: bool = False
+    backend: str = "auto"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -144,7 +152,7 @@ class WindowAttention(nn.Module):
         b, h, w, c = x.shape
         ws = self.window_size
         mha = MultiHeadAttention(
-            self.channels, self.num_heads, use_fused=self.use_fused,
+            self.channels, self.num_heads, backend=self.backend,
             dtype=self.dtype, name="mha"
         )
         if h <= ws and w <= ws:
@@ -488,10 +496,9 @@ class SwinBlock(nn.Module):
     # skip at apply time; params are still created so checkpoints and
     # param trees stay identical (used by benchmarks/ablate.py)
     ablate_branches: Optional[Sequence[str]] = None
-    # 'pallas' opts into the fused Pallas window-attention kernel (correct
-    # and differentiable via an XLA-recompute VJP, but measured ~13% slower
-    # than XLA's lowering at the default 36-token windows — see
-    # kernels/window_attention.py); 'auto'/'xla' use the XLA path.
+    # 'auto': fused Pallas window attention on the stages where it
+    # measures faster (<= 4 heads, see MultiHeadAttention.backend);
+    # 'pallas'/'xla' force one backend everywhere.
     attention_backend: str = "auto"
     # 'auto'/'pallas': fuse channel_norm + FiLM + MoE FFN into one Pallas
     # kernel (kernels/ffn_block.py) on TPU when shapes allow — measured
@@ -608,13 +615,12 @@ class SwinBlock(nn.Module):
             else:
                 _ = conv(h[:, :3, :3, :])
         if self.attention:
-            use_fused = self.attention_backend == "pallas"
             wattn = WindowAttention(
                 c,
                 heads,
                 window_size=self.window_size,
                 shift=self.shift,
-                use_fused=use_fused,
+                backend=self.attention_backend,
                 dtype=self.dtype,
                 name="self_attention",
             )
