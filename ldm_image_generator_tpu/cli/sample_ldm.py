@@ -31,6 +31,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-o", "--outdir", default="./ddpm_outputs/")
     p.add_argument("--config", default="default", choices=["default", "tiny"],
                    help="model size preset (tiny = test/debug scale)")
+    p.add_argument("--quant", default="none", choices=["none", "int8"],
+                   help="int8: per-channel quantized FFN weights on the "
+                        "fused TPU kernels (~2x less weight streaming per "
+                        "denoise step, ~0.3%% output error)")
     from ldm_image_generator_tpu.cli.common import add_diffusion_args
 
     add_diffusion_args(p)
@@ -50,9 +54,12 @@ def main(argv=None):
     from ldm_image_generator_tpu.pipelines import LDMPipeline
     from ldm_image_generator_tpu.utils import torch_import as ti
 
+    import dataclasses
+
     ucfg, vcfg = UNetConfig(), VAEConfig()
     if args.config == "tiny":
         ucfg, vcfg = ucfg.tiny(), vcfg.tiny()
+    ucfg = dataclasses.replace(ucfg, ffn_quant=args.quant)
     dtype = jnp.bfloat16 if args.fp16 else jnp.float32
     dcfg = DDPMConfig(prediction=args.prediction,
                       zero_terminal_snr=args.zero_snr)

@@ -43,6 +43,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-wait-ms", default=25.0, type=float)
     p.add_argument("--config", default="default",
                    choices=["default", "tiny"])
+    p.add_argument("--quant", default="none", choices=["none", "int8"],
+                   help="int8: quantized FFN weights (serving throughput)")
     from ldm_image_generator_tpu.cli.common import add_diffusion_args
 
     add_diffusion_args(p)
@@ -61,9 +63,12 @@ def make_sampler(args):
     from ldm_image_generator_tpu.pipelines import LDMPipeline
     from ldm_image_generator_tpu.utils import torch_import as ti
 
+    import dataclasses
+
     ucfg, vcfg = UNetConfig(), VAEConfig()
     if args.config == "tiny":
         ucfg, vcfg = ucfg.tiny(), vcfg.tiny()
+    ucfg = dataclasses.replace(ucfg, ffn_quant=args.quant)
     dtype = jnp.bfloat16 if args.fp16 else jnp.float32
     dcfg = DDPMConfig(prediction=args.prediction,
                       zero_terminal_snr=args.zero_snr)

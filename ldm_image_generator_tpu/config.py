@@ -46,6 +46,12 @@ class UNetConfig:
     # Rematerialize stages in backward (jax.checkpoint): trades recompute
     # for activation memory — enables large-batch training in 16GB HBM.
     remat: bool = False
+    # 'int8': per-output-channel int8 MoE-FFN weights on the fused TPU
+    # kernels — halves the FFN weight *bytes* (HBM capacity / multi-model
+    # serving), ~1.4% full-model output error. NOT a speed win on this
+    # chip (measured b1 denoise 1.9 -> 2.2 ms: the in-kernel VPU dequant
+    # outweighs the DMA savings); keep 'none' for latency.
+    ffn_quant: str = "none"
 
     def tiny(self) -> "UNetConfig":
         return dataclasses.replace(

@@ -93,7 +93,8 @@ def repack_conv_blocks(conv_kernel: jnp.ndarray, pw: int = 128):
     )
 
 
-def _kernel(eps, out_dtype, bt, hh, ww, c, gb, film_b1, add_residual):
+def _kernel(eps, out_dtype, bt, hh, ww, c, gb, film_b1, add_residual,
+            quantized=False):
     rows = bt * hh * ww
 
     def kernel(sidx, x_ref, mul_ref, bias_ref,
@@ -106,6 +107,15 @@ def _kernel(eps, out_dtype, bt, hh, ww, c, gb, film_b1, add_residual):
 
         k = pl.program_id(1)
         nk = pl.num_programs(1)
+
+        def sb2(ref):
+            v = ref[:].reshape(2, ref.shape[-1])
+            return v[0:1, :], v[1:2, :]
+
+        def bias_of(ref):
+            if quantized:
+                return sb2(ref)[1]
+            return ref[:].reshape(1, -1).astype(jnp.float32)
 
         @pl.when(k == 0)
         def _init():
@@ -146,9 +156,7 @@ def _kernel(eps, out_dtype, bt, hh, ww, c, gb, film_b1, add_residual):
                     )
 
             base = conv + bconv[:].reshape(1, c).astype(jnp.float32) + (
-                gbc[:].reshape(1, -1).astype(jnp.float32)
-                + bc1[:].reshape(1, -1).astype(jnp.float32)
-                + bc2[:].reshape(1, -1).astype(jnp.float32)
+                bias_of(gbc) + bias_of(bc1) + bias_of(bc2)
             )
             if add_residual:
                 base = base + xr
@@ -156,26 +164,36 @@ def _kernel(eps, out_dtype, bt, hh, ww, c, gb, film_b1, add_residual):
 
         h = h_ref[:].reshape(rows, c)
 
-        def reglu_chunk(wa_, ba_, wb_, bb_, wc_):
-            m2 = lambda w: w[:].reshape(w.shape[-2], w.shape[-1])
-            a = jax.lax.dot_general(
-                h, m2(wa_), (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) + ba_[:].reshape(1, -1).astype(jnp.float32)
-            b = jax.lax.dot_general(
-                h, m2(wb_), (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) + bb_[:].reshape(1, -1).astype(jnp.float32)
-            g = (a * jax.nn.relu(b)).astype(out_dtype)
-            return jax.lax.dot_general(
-                g, m2(wc_), (((1,), (0,)), ((), ())),
+        def proj(x_, w_ref, b_ref):
+            w = w_ref[:].reshape(w_ref.shape[-2], w_ref.shape[-1])
+            y = jax.lax.dot_general(
+                x_, w.astype(out_dtype) if quantized else w,
+                (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
+            if quantized:
+                scale, bias = sb2(b_ref)
+                return y * scale + bias
+            return y + b_ref[:].reshape(1, -1).astype(jnp.float32)
+
+        def reglu_chunk(wa_, ba_, wb_, bb_, wc_, bc_):
+            a = proj(h, wa_, ba_)
+            b = proj(h, wb_, bb_)
+            g = (a * jax.nn.relu(b)).astype(out_dtype)
+            w = wc_[:].reshape(wc_.shape[-2], wc_.shape[-1])
+            y = jax.lax.dot_general(
+                g, w.astype(out_dtype) if quantized else w,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if quantized:
+                y = y * sb2(bc_)[0]
+            return y
 
         acc_ref[:] += (
-            reglu_chunk(gwa, gba, gwb, gbb, gwc)
-            + reglu_chunk(wa1, ba1, wb1, bb1, wc1)
-            + reglu_chunk(wa2, ba2, wb2, bb2, wc2)
+            reglu_chunk(gwa, gba, gwb, gbb, gwc, gbc)
+            + reglu_chunk(wa1, ba1, wb1, bb1, wc1, bc1)
+            + reglu_chunk(wa2, ba2, wb2, bb2, wc2, bc2)
         )
 
         @pl.when(k == nk - 1)
@@ -208,6 +226,12 @@ def _pick_tiles(b: int, hw: int, c: int, m: int, film_b1: bool):
         else:
             break
     fits = weight_bytes(mk) + tile_bytes(bt) <= 12 * 1024 * 1024
+    if bt == b:
+        # single batch tile: chunk the hidden dim so Mosaic pipelines
+        # the weight DMAs (see ffn_block._pick_tiles; ~2x streaming)
+        target = 256 if m >= 512 else 128
+        if m % target == 0:
+            mk = min(mk, target)
     return bt, mk, fits
 
 
@@ -233,7 +257,8 @@ def block_core_supported(x_shape, hidden: int, group_width: int,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("add_residual", "interpret", "batch_tile")
+    jax.jit,
+    static_argnames=("add_residual", "interpret", "batch_tile", "quantized"),
 )
 def block_core_pallas(x, film_mul, film_bias,
                       gwa, gba, gwb, gbb, gwc, gbc,
@@ -241,12 +266,19 @@ def block_core_pallas(x, film_mul, film_bias,
                       conv_kernel, conv_bias, expert_ids,
                       add_residual: bool = True,
                       interpret: bool = False,
-                      batch_tile: int = 0):
+                      batch_tile: int = 0,
+                      quantized: bool = False):
     """x: [B,H,W,C]; film_mul/bias: [1 or B, H, W, C]; conv_kernel:
     [3,3,gw,C]; expert_ids: int32 [2]. Returns (out, h), both [B,H,W,C].
+
+    quantized=True: per-output-channel int8 FFN weights, quantized in
+    XLA (hoisted out of an enclosing scan) and dequantized in-kernel —
+    the scan streams half the FFN weight bytes. Conv stays bf16 (tiny).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+
+    from ldm_image_generator_tpu.kernels.ffn_block import quantize_cols
 
     b, hh, ww, c = x.shape
     m = wa.shape[-1]
@@ -262,6 +294,20 @@ def block_core_pallas(x, film_mul, film_bias,
     gb = c // 128
     wblk = repack_conv_blocks(conv_kernel.astype(x.dtype))
 
+    if quantized:
+        gwa, gba = quantize_cols(gwa, gba)
+        gwb, gbb = quantize_cols(gwb, gbb)
+        gwc, gbc = quantize_cols(gwc, gbc)
+        wa, ba = quantize_cols(wa, ba)
+        wb, bb = quantize_cols(wb, bb)
+        wc, bc = quantize_cols(wc, bc)
+    else:
+        gba, gbb, gbc = (gba.reshape(1, m), gbb.reshape(1, m),
+                         gbc.reshape(1, c))
+        ba, bb = ba.reshape(e, 1, m), bb.reshape(e, 1, m)
+        bc = bc.reshape(e, 1, c)
+    br = 2 if quantized else 1
+
     img = lambda: pl.BlockSpec((bt, hh, ww, c), lambda i, k, s: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM)
     film = lambda: pl.BlockSpec(
@@ -274,17 +320,17 @@ def block_core_pallas(x, film_mul, film_bias,
                                 memory_space=pltpu.VMEM)
     g_out = lambda: pl.BlockSpec((mk, c), lambda i, k, s: (k, 0),
                                  memory_space=pltpu.VMEM)
-    gb_in = lambda: pl.BlockSpec((1, mk), lambda i, k, s: (0, k),
+    gb_in = lambda: pl.BlockSpec((br, mk), lambda i, k, s: (0, k),
                                  memory_space=pltpu.VMEM)
-    gb_out = lambda: pl.BlockSpec((1, c), lambda i, k, s: (0, 0),
+    gb_out = lambda: pl.BlockSpec((br, c), lambda i, k, s: (0, 0),
                                   memory_space=pltpu.VMEM)
     e_in = lambda j: pl.BlockSpec((1, c, mk), lambda i, k, s: (s[j], 0, k),
                                   memory_space=pltpu.VMEM)
     e_out = lambda j: pl.BlockSpec((1, mk, c), lambda i, k, s: (s[j], k, 0),
                                    memory_space=pltpu.VMEM)
-    eb_in = lambda j: pl.BlockSpec((1, 1, mk), lambda i, k, s: (s[j], 0, k),
+    eb_in = lambda j: pl.BlockSpec((1, br, mk), lambda i, k, s: (s[j], 0, k),
                                    memory_space=pltpu.VMEM)
-    eb_out = lambda j: pl.BlockSpec((1, 1, c), lambda i, k, s: (s[j], 0, 0),
+    eb_out = lambda j: pl.BlockSpec((1, br, c), lambda i, k, s: (s[j], 0, 0),
                                     memory_space=pltpu.VMEM)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -309,7 +355,8 @@ def block_core_pallas(x, film_mul, film_bias,
         scratch_shapes=[pltpu.VMEM((bt * hh * ww, c), jnp.float32)],
     )
     out, h = pl.pallas_call(
-        _kernel(1e-4, x.dtype, bt, hh, ww, c, gb, film_b1, add_residual),
+        _kernel(1e-4, x.dtype, bt, hh, ww, c, gb, film_b1, add_residual,
+                quantized),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((b, hh, ww, c), x.dtype),
@@ -319,12 +366,9 @@ def block_core_pallas(x, film_mul, film_bias,
     )(
         expert_ids.astype(jnp.int32),
         x, film_mul, film_bias,
-        gwa, gba.reshape(1, m), gwb, gbb.reshape(1, m), gwc,
-        gbc.reshape(1, c),
-        wa, ba.reshape(e, 1, m), wb, bb.reshape(e, 1, m),
-        wc, bc.reshape(e, 1, c),
-        wa, ba.reshape(e, 1, m), wb, bb.reshape(e, 1, m),
-        wc, bc.reshape(e, 1, c),
+        gwa, gba, gwb, gbb, gwc, gbc,
+        wa, ba, wb, bb, wc, bc,
+        wa, ba, wb, bb, wc, bc,
         wblk, conv_bias.reshape(1, c),
     )
     return out, h
@@ -332,7 +376,7 @@ def block_core_pallas(x, film_mul, film_bias,
 
 def block_core(x, film_mul, film_bias, gwa, gba, gwb, gbb, gwc, gbc,
                wa, ba, wb, bb, wc, bc, conv_kernel, conv_bias, expert_ids,
-               add_residual: bool = True):
+               add_residual: bool = True, quantized: bool = False):
     """Dispatcher: Pallas megakernel on TPU when shapes qualify, XLA
     composition elsewhere. Differentiable (XLA-recompute VJP on the
     Pallas path). Returns (out, h)."""
@@ -341,8 +385,17 @@ def block_core(x, film_mul, film_bias, gwa, gba, gwb, gbb, gwc, gbc,
         return _fused_block_core(
             x, film_mul, film_bias, gwa, gba, gwb, gbb, gwc, gbc,
             wa, ba, wb, bb, wc, bc, conv_kernel, conv_bias, expert_ids,
-            add_residual,
+            add_residual, quantized,
         )
+    if quantized:
+        from ldm_image_generator_tpu.kernels.ffn_block import fake_quantize
+
+        gwa, gba = fake_quantize(gwa, gba)
+        gwb, gbb = fake_quantize(gwb, gbb)
+        gwc, gbc = fake_quantize(gwc, gbc)
+        wa, ba = fake_quantize(wa, ba)
+        wb, bb = fake_quantize(wb, bb)
+        wc, bc = fake_quantize(wc, bc)
     return block_core_xla(
         x, film_mul, film_bias, gwa, gba, gwb, gbb, gwc, gbc,
         wa, ba, wb, bb, wc, bc, conv_kernel, conv_bias,
@@ -350,30 +403,30 @@ def block_core(x, film_mul, film_bias, gwa, gba, gwb, gbb, gwc, gbc,
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(18,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(18, 19))
 def _fused_block_core(x, film_mul, film_bias, gwa, gba, gwb, gbb, gwc, gbc,
                       wa, ba, wb, bb, wc, bc, conv_kernel, conv_bias,
-                      expert_ids, add_residual):
+                      expert_ids, add_residual, quantized):
     return block_core_pallas(
         x, film_mul, film_bias, gwa, gba, gwb, gbb, gwc, gbc,
         wa, ba, wb, bb, wc, bc, conv_kernel, conv_bias, expert_ids,
-        add_residual=add_residual,
+        add_residual=add_residual, quantized=quantized,
     )
 
 
 def _bc_fwd(x, film_mul, film_bias, gwa, gba, gwb, gbb, gwc, gbc,
             wa, ba, wb, bb, wc, bc, conv_kernel, conv_bias, expert_ids,
-            add_residual):
+            add_residual, quantized):
     out = block_core_pallas(
         x, film_mul, film_bias, gwa, gba, gwb, gbb, gwc, gbc,
         wa, ba, wb, bb, wc, bc, conv_kernel, conv_bias, expert_ids,
-        add_residual=add_residual,
+        add_residual=add_residual, quantized=quantized,
     )
     return out, (x, film_mul, film_bias, gwa, gba, gwb, gbb, gwc, gbc,
                  wa, ba, wb, bb, wc, bc, conv_kernel, conv_bias, expert_ids)
 
 
-def _bc_bwd(add_residual, res, g):
+def _bc_bwd(add_residual, quantized, res, g):
     (x, film_mul, film_bias, gwa, gba, gwb, gbb, gwc, gbc,
      wa, ba, wb, bb, wc, bc, conv_kernel, conv_bias, expert_ids) = res
     e1, e2 = expert_ids[0], expert_ids[1]

@@ -53,7 +53,32 @@ def ffn_block_xla(x, film_mul, film_bias, gwa, gba, gwb, gbb, gwc, gbc,
     return out, h
 
 
-def _kernel(eps, out_dtype):
+def quantize_cols(w: jnp.ndarray, bias: jnp.ndarray):
+    """Symmetric per-output-channel int8 quantization.
+
+    w: [..., in, out], bias: [..., out] -> (int8 w, scale_bias
+    [..., 2, out] fp32 with rows [scale; bias]). Inside a jitted
+    sampling scan this computation is loop-invariant, so XLA hoists it
+    and the scan streams the int8 arrays — half the HBM bytes of bf16.
+    The matching dequant happens INSIDE the Pallas kernel (a custom-call
+    boundary XLA cannot hoist through), as out_cols * scale after the
+    matmul: exact for the per-output-channel scheme."""
+    scale = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=-2) / 127.0
+    scale = jnp.maximum(scale, 1e-12)
+    wq = jnp.round(w.astype(jnp.float32) / scale[..., None, :]).astype(
+        jnp.int8
+    )
+    sb = jnp.stack([scale, bias.astype(jnp.float32)], axis=-2)
+    return wq, sb
+
+
+def dequantize_cols(wq: jnp.ndarray, sb: jnp.ndarray):
+    """Inverse of quantize_cols: (fp32 w, bias)."""
+    scale, bias = sb[..., 0, :], sb[..., 1, :]
+    return wq.astype(jnp.float32) * scale[..., None, :], bias
+
+
+def _kernel(eps, out_dtype, quantized: bool = False):
     def kernel(sidx, x_ref, mul_ref, bias_ref,
                gwa, gba, gwb, gbb, gwc, gbc,
                wa1, ba1, wb1, bb1, wc1, bc1,
@@ -63,6 +88,16 @@ def _kernel(eps, out_dtype):
 
         k = pl.program_id(1)
         nk = pl.num_programs(1)
+
+        def sb2(ref):
+            """scale_bias ref [.., 2, d] -> (scale [1, d], bias [1, d])."""
+            v = ref[:].reshape(2, ref.shape[-1])
+            return v[0:1, :], v[1:2, :]
+
+        def bias_of(ref):
+            if quantized:
+                return sb2(ref)[1]
+            return ref[:].reshape(1, -1).astype(jnp.float32)
 
         @pl.when(k == 0)
         def _init():
@@ -77,35 +112,52 @@ def _kernel(eps, out_dtype):
             h_ref[:] = h
             # output biases are k-independent: fold them into the init
             acc_ref[:] = jnp.broadcast_to(
-                gbc[:].reshape(1, -1).astype(jnp.float32)
-                + bc1[:].reshape(1, -1).astype(jnp.float32)
-                + bc2[:].reshape(1, -1).astype(jnp.float32),
+                bias_of(gbc) + bias_of(bc1) + bias_of(bc2),
                 acc_ref.shape,
             )
 
         h = h_ref[:]
 
-        def reglu_chunk(wa_, ba_, wb_, bb_, wc_):
-            """One hidden chunk's contribution: (a_k * relu(b_k)) @ wc_k."""
-            m2 = lambda w: w[:].reshape(w.shape[-2], w.shape[-1])
-            a = jax.lax.dot_general(
-                h, m2(wa_), (((1,), (0,)), ((), ())),
+        def proj(x_, w_ref, b_ref, with_bias=True):
+            """x_ @ w (+ scale) (+ bias) with int8 dequant-by-column."""
+            w = w_ref[:].reshape(w_ref.shape[-2], w_ref.shape[-1])
+            y = jax.lax.dot_general(
+                x_, w.astype(out_dtype) if quantized else w,
+                (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ) + ba_[:].reshape(1, -1).astype(jnp.float32)
-            b = jax.lax.dot_general(
-                h, m2(wb_), (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) + bb_[:].reshape(1, -1).astype(jnp.float32)
+            )
+            if quantized:
+                scale, bias = sb2(b_ref)
+                y = y * scale
+                return y + bias if with_bias else y
+            if with_bias:
+                return y + b_ref[:].reshape(1, -1).astype(jnp.float32)
+            return y
+
+        def reglu_chunk(wa_, ba_, wb_, bb_, wc_, bc_):
+            """One hidden chunk's contribution: (a_k * relu(b_k)) @ wc_k.
+            The chunk's output bias was already folded at init; for the
+            quantized path the output-column scale still applies here."""
+            a = proj(h, wa_, ba_)
+            b = proj(h, wb_, bb_)
             g = (a * jax.nn.relu(b)).astype(out_dtype)
+            if quantized:
+                scale, _ = sb2(bc_)
+                w = wc_[:].reshape(wc_.shape[-2], wc_.shape[-1])
+                return jax.lax.dot_general(
+                    g, w.astype(out_dtype), (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * scale
+            w = wc_[:].reshape(wc_.shape[-2], wc_.shape[-1])
             return jax.lax.dot_general(
-                g, m2(wc_), (((1,), (0,)), ((), ())),
+                g, w, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
 
         acc_ref[:] += (
-            reglu_chunk(gwa, gba, gwb, gbb, gwc)
-            + reglu_chunk(wa1, ba1, wb1, bb1, wc1)
-            + reglu_chunk(wa2, ba2, wb2, bb2, wc2)
+            reglu_chunk(gwa, gba, gwb, gbb, gwc, gbc)
+            + reglu_chunk(wa1, ba1, wb1, bb1, wc1, bc1)
+            + reglu_chunk(wa2, ba2, wb2, bb2, wc2, bc2)
         )
 
         @pl.when(k == nk - 1)
@@ -133,14 +185,31 @@ def _pick_tiles(n: int, c: int, m: int):
             tm //= 2
         else:
             break
+    if n <= tm:
+        # single row tile: chunk the hidden dim anyway so Mosaic can
+        # pipeline the weight DMAs across grid steps — measured ~2x
+        # faster weight streaming in the small-batch regime. (With
+        # multiple row tiles the k index cycles and chunks would be
+        # re-fetched per tile, so only do this when nt == 1.)
+        target = 256 if m >= 512 else 128
+        if m % target == 0:
+            mk = min(mk, target)
     return tm, mk
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "tile_rows"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("interpret", "tile_rows", "hidden_chunk", "quantized"),
+)
 def ffn_block_pallas(x, film_mul, film_bias, gwa, gba, gwb, gbb, gwc, gbc,
                      wa, ba, wb, bb, wc, bc, expert_ids,
-                     interpret: bool = False, tile_rows: int = 0):
-    """x/film_*: [N, C]; expert_ids: int32 [2]. Returns (out, h)."""
+                     interpret: bool = False, tile_rows: int = 0,
+                     hidden_chunk: int = 0, quantized: bool = False):
+    """x/film_*: [N, C]; expert_ids: int32 [2]. Returns (out, h).
+
+    quantized=True: weights are quantized to per-output-channel int8 in
+    XLA (hoisted out of any enclosing scan) and dequantized inside the
+    kernel — the scan streams half the weight bytes."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -150,6 +219,8 @@ def ffn_block_pallas(x, film_mul, film_bias, gwa, gba, gwb, gbb, gwc, gbc,
     tm, mk = _pick_tiles(n, c, m)
     if tile_rows:
         tm = min(tile_rows, n)
+    if hidden_chunk and m % hidden_chunk == 0:
+        mk = hidden_chunk
     pad = (-n) % tm
     if pad:
         x = jnp.pad(x, ((0, pad), (0, 0)))
@@ -158,6 +229,20 @@ def ffn_block_pallas(x, film_mul, film_bias, gwa, gba, gwb, gbb, gwc, gbc,
     nt = (n + pad) // tm
     nk = m // mk
 
+    if quantized:
+        gwa, gba = quantize_cols(gwa, gba)   # gba -> [2, m]
+        gwb, gbb = quantize_cols(gwb, gbb)
+        gwc, gbc = quantize_cols(gwc, gbc)   # gbc -> [2, c]
+        wa, ba = quantize_cols(wa, ba)       # ba -> [E, 2, m]
+        wb, bb = quantize_cols(wb, bb)
+        wc, bc = quantize_cols(wc, bc)       # bc -> [E, 2, c]
+    else:
+        gba, gbb, gbc = (gba.reshape(1, m), gbb.reshape(1, m),
+                         gbc.reshape(1, c))
+        ba, bb = ba.reshape(e, 1, m), bb.reshape(e, 1, m)
+        bc = bc.reshape(e, 1, c)
+    br = 2 if quantized else 1  # bias block rows ([scale; bias] if quant)
+
     row = lambda: pl.BlockSpec((tm, c), lambda i, k, s: (i, 0),
                                memory_space=pltpu.VMEM)
     # general weights: chunk index on the hidden dim
@@ -165,20 +250,20 @@ def ffn_block_pallas(x, film_mul, film_bias, gwa, gba, gwb, gbb, gwc, gbc,
                                 memory_space=pltpu.VMEM)
     g_out = lambda: pl.BlockSpec((mk, c), lambda i, k, s: (k, 0),
                                  memory_space=pltpu.VMEM)
-    gb_in = lambda: pl.BlockSpec((1, mk), lambda i, k, s: (0, k),
+    gb_in = lambda: pl.BlockSpec((br, mk), lambda i, k, s: (0, k),
                                  memory_space=pltpu.VMEM)
-    gb_out = lambda: pl.BlockSpec((1, c), lambda i, k, s: (0, 0),
+    gb_out = lambda: pl.BlockSpec((br, c), lambda i, k, s: (0, 0),
                                   memory_space=pltpu.VMEM)
     # expert-selected slices: scalar-prefetched ids drive the index maps
     e_in = lambda j: pl.BlockSpec((1, c, mk), lambda i, k, s: (s[j], 0, k),
                                   memory_space=pltpu.VMEM)
     e_out = lambda j: pl.BlockSpec((1, mk, c), lambda i, k, s: (s[j], k, 0),
                                    memory_space=pltpu.VMEM)
-    # stacked expert biases travel as [E, 1, d] so the trailing block
+    # stacked expert biases travel as [E, br, d] so the trailing block
     # dims satisfy the TPU (8, 128) tiling rule
-    eb_in = lambda j: pl.BlockSpec((1, 1, mk), lambda i, k, s: (s[j], 0, k),
+    eb_in = lambda j: pl.BlockSpec((1, br, mk), lambda i, k, s: (s[j], 0, k),
                                    memory_space=pltpu.VMEM)
-    eb_out = lambda j: pl.BlockSpec((1, 1, c), lambda i, k, s: (s[j], 0, 0),
+    eb_out = lambda j: pl.BlockSpec((1, br, c), lambda i, k, s: (s[j], 0, 0),
                                     memory_space=pltpu.VMEM)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -199,7 +284,7 @@ def ffn_block_pallas(x, film_mul, film_bias, gwa, gba, gwb, gbb, gwc, gbc,
         scratch_shapes=[pltpu.VMEM((tm, c), jnp.float32)],
     )
     out, h = pl.pallas_call(
-        _kernel(1e-4, x.dtype),
+        _kernel(1e-4, x.dtype, quantized),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n + pad, c), x.dtype),
@@ -209,20 +294,27 @@ def ffn_block_pallas(x, film_mul, film_bias, gwa, gba, gwb, gbb, gwc, gbc,
     )(
         expert_ids.astype(jnp.int32),
         x, film_mul, film_bias,
-        gwa, gba.reshape(1, m), gwb, gbb.reshape(1, m), gwc,
-        gbc.reshape(1, c),
-        wa, ba.reshape(e, 1, m), wb, bb.reshape(e, 1, m),
-        wc, bc.reshape(e, 1, c),
-        wa, ba.reshape(e, 1, m), wb, bb.reshape(e, 1, m),
-        wc, bc.reshape(e, 1, c),
+        gwa, gba, gwb, gbb, gwc, gbc,
+        wa, ba, wb, bb, wc, bc,
+        wa, ba, wb, bb, wc, bc,
     )
     return out[:n], h[:n]
 
 
+def fake_quantize(w, bias):
+    """Round-trip through the int8 per-output-channel scheme — the XLA
+    reference semantics of `quantized=True` (for CPU fallback/tests)."""
+    wq, sb = quantize_cols(w, bias)
+    wdq, b = dequantize_cols(wq, sb)
+    return wdq.astype(w.dtype), b.astype(bias.dtype)
+
+
 def ffn_block(x, film_mul, film_bias, gwa, gba, gwb, gbb, gwc, gbc,
-              wa, ba, wb, bb, wc, bc, expert_ids):
+              wa, ba, wb, bb, wc, bc, expert_ids,
+              quantized: bool = False):
     """Dispatcher: Pallas on TPU, XLA composition elsewhere.
-    Differentiable (XLA-recompute VJP on the Pallas path).
+    Differentiable (XLA-recompute VJP on the Pallas path; quantized
+    gradients are straight-through w.r.t. the full-precision weights).
     Returns (ffn_out, h)."""
     if (
         jax.default_backend() in ("tpu", "axon")
@@ -230,29 +322,39 @@ def ffn_block(x, film_mul, film_bias, gwa, gba, gwb, gbb, gwc, gbc,
         and wa.shape[-1] % 128 == 0
     ):
         return _fused_ffn_block(x, film_mul, film_bias, gwa, gba, gwb, gbb,
-                                gwc, gbc, wa, ba, wb, bb, wc, bc, expert_ids)
+                                gwc, gbc, wa, ba, wb, bb, wc, bc,
+                                expert_ids, quantized)
+    if quantized:
+        gwa, gba = fake_quantize(gwa, gba)
+        gwb, gbb = fake_quantize(gwb, gbb)
+        gwc, gbc = fake_quantize(gwc, gbc)
+        wa, ba = fake_quantize(wa, ba)
+        wb, bb = fake_quantize(wb, bb)
+        wc, bc = fake_quantize(wc, bc)
     e1, e2 = expert_ids[0], expert_ids[1]
     # dynamic-index XLA fallback (gathers two expert slices)
     return ffn_block_xla(x, film_mul, film_bias, gwa, gba, gwb, gbb, gwc,
                          gbc, wa, ba, wb, bb, wc, bc, e1, e2)
 
 
-@jax.custom_vjp
+@functools.partial(jax.custom_vjp, nondiff_argnums=(16,))
 def _fused_ffn_block(x, film_mul, film_bias, gwa, gba, gwb, gbb, gwc, gbc,
-                     wa, ba, wb, bb, wc, bc, expert_ids):
+                     wa, ba, wb, bb, wc, bc, expert_ids, quantized):
     return ffn_block_pallas(x, film_mul, film_bias, gwa, gba, gwb, gbb,
-                            gwc, gbc, wa, ba, wb, bb, wc, bc, expert_ids)
+                            gwc, gbc, wa, ba, wb, bb, wc, bc, expert_ids,
+                            quantized=quantized)
 
 
 def _ffb_fwd(x, film_mul, film_bias, gwa, gba, gwb, gbb, gwc, gbc,
-             wa, ba, wb, bb, wc, bc, expert_ids):
+             wa, ba, wb, bb, wc, bc, expert_ids, quantized):
     out = ffn_block_pallas(x, film_mul, film_bias, gwa, gba, gwb, gbb,
-                           gwc, gbc, wa, ba, wb, bb, wc, bc, expert_ids)
+                           gwc, gbc, wa, ba, wb, bb, wc, bc, expert_ids,
+                           quantized=quantized)
     return out, (x, film_mul, film_bias, gwa, gba, gwb, gbb, gwc, gbc,
                  wa, ba, wb, bb, wc, bc, expert_ids)
 
 
-def _ffb_bwd(res, g):
+def _ffb_bwd(quantized, res, g):
     (x, film_mul, film_bias, gwa, gba, gwb, gbb, gwc, gbc,
      wa, ba, wb, bb, wc, bc, expert_ids) = res
     e1, e2 = expert_ids[0], expert_ids[1]

@@ -230,6 +230,11 @@ class RandomMoE(nn.Module):
     num_experts: int = 4
     experts_per_call: int = 2
     fixed_expert_indices: Optional[Sequence[int]] = None  # tests/parity only
+    # 'int8': per-output-channel int8 FFN weights on the fused kernel
+    # paths — half the HBM weight streaming during sampling scans;
+    # dequantized in-kernel (kernels/ffn_block.quantize_cols). Inference
+    # optimization; gradients remain w.r.t. full-precision weights.
+    quant: str = "none"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -305,6 +310,7 @@ class RandomMoE(nn.Module):
                     x.astype(dt), film_mul.astype(dt), film_bias.astype(dt),
                     *ffn_w, conv_kernel.astype(dt), conv_bias.astype(dt),
                     ids, add_residual=add_residual,
+                    quantized=self.quant == "int8",
                 )
             from ldm_image_generator_tpu.kernels.ffn_block import ffn_block
 
@@ -312,8 +318,24 @@ class RandomMoE(nn.Module):
             out, h = ffn_block(
                 x.reshape(-1, c).astype(dt), flat(film_mul.astype(dt)),
                 flat(film_bias.astype(dt)), *ffn_w, ids,
+                quantized=self.quant == "int8",
             )
             return out.reshape(x.shape), h.reshape(x.shape)
+
+        if self.quant == "int8":
+            # simulated quantization on the non-fused path so the flag
+            # is never a silent no-op (CPU runs get the same numerics
+            # the TPU int8 kernels produce)
+            from ldm_image_generator_tpu.kernels.ffn_block import (
+                fake_quantize,
+            )
+
+            gwa, gba = fake_quantize(gwa, gba)
+            gwb, gbb = fake_quantize(gwb, gbb)
+            gwc, gbc = fake_quantize(gwc, gbc)
+            wa, ba = fake_quantize(wa, ba)
+            wb, bb = fake_quantize(wb, bb)
+            wc, bc = fake_quantize(wc, bc)
 
         def general(v):
             ga = v @ gwa.astype(dt) + gba.astype(dt)
@@ -491,6 +513,7 @@ class SwinBlock(nn.Module):
     num_experts: int = 4
     experts_per_call: int = 2
     ffn_mul: int = 1
+    ffn_quant: str = "none"  # 'int8' = quantized FFN weights (see RandomMoE)
     fixed_expert_indices: Optional[Sequence[int]] = None
     # debug/profiling: branch names ('norm','film','moe','conv','attn') to
     # skip at apply time; params are still created so checkpoints and
@@ -534,6 +557,7 @@ class SwinBlock(nn.Module):
             num_experts=self.num_experts,
             experts_per_call=self.experts_per_call,
             fixed_expert_indices=self.fixed_expert_indices,
+            quant=self.ffn_quant,
             dtype=self.dtype,
             name="ffn",
         )
@@ -667,6 +691,7 @@ class SwinStack(nn.Module):
     num_experts: int = 4
     experts_per_call: int = 2
     ffn_mul: int = 1
+    ffn_quant: str = "none"
     fixed_expert_indices: Optional[Sequence[int]] = None
     ablate_branches: Optional[Sequence[str]] = None
     attention_backend: str = "auto"
@@ -690,6 +715,7 @@ class SwinStack(nn.Module):
                 num_experts=self.num_experts,
                 experts_per_call=self.experts_per_call,
                 ffn_mul=self.ffn_mul,
+                ffn_quant=self.ffn_quant,
                 fixed_expert_indices=self.fixed_expert_indices,
                 ablate_branches=self.ablate_branches,
                 attention_backend=self.attention_backend,

@@ -91,6 +91,7 @@ class UNet(nn.Module):
             num_experts=cfg.num_experts,
             experts_per_call=cfg.experts_per_call,
             ffn_mul=cfg.ffn_mul,
+            ffn_quant=cfg.ffn_quant,
             fixed_expert_indices=cfg.fixed_expert_indices,
             ablate_branches=cfg.ablate_branches,
             attention_backend=cfg.attention_backend,
