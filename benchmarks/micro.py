@@ -87,6 +87,26 @@ def main():
     from ldm_image_generator_tpu.pipelines import LDMPipeline
 
     pipe = LDMPipeline(ucfg, vcfg, DDPMConfig(), dtype=jnp.bfloat16)
+
+    # the honest sampler per-step cost: d(e2e)/d(num_steps) on the real
+    # pipeline (film cache + bf16 pre-cast + per-step keys); fixed costs
+    # (tunnel round-trip, film precompute, decode, readback) cancel
+    def e2e(steps, seed):
+        img = pipe.sample(up, dp, jax.random.PRNGKey(seed), batch=1,
+                          image_size=256, num_steps=steps)
+        return jax.device_get(img)
+
+    import time as _t2
+    times = {}
+    for steps in (20, 100):
+        e2e(steps, 0)
+        t0 = _t2.perf_counter()
+        for i in range(5):
+            e2e(steps, i + 1)
+        times[steps] = (_t2.perf_counter() - t0) / 5
+    emit("sampler_step_b1_latent32", (times[100] - times[20]) / 80,
+         "s/step", BASE_DENOISE_B1_32)
+
     for batch in [1, 8]:
         def run(k):
             img = pipe.sample(up, dp, k, batch=batch, image_size=256,
