@@ -28,7 +28,16 @@ class BatchLoader:
         seed: int = 0,
         sharding=None,
         prefetch: int = 2,
+        shard_index: "int | None" = None,
+        shard_count: "int | None" = None,
     ):
+        """batch_size is the GLOBAL batch. On a multi-host job each
+        process constructs the loader with the same seed; the per-epoch
+        permutation is then identical across hosts, and every host
+        loads only its own stripe of each global batch
+        (batch_size // shard_count items). shard_index/shard_count
+        default to jax.process_index()/process_count(), so single-host
+        behavior is unchanged and multi-host sharding needs no flags."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -36,6 +45,18 @@ class BatchLoader:
         self.rng = np.random.RandomState(seed)
         self.sharding = sharding
         self.prefetch = prefetch
+        if shard_index is None or shard_count is None:
+            try:
+                import jax
+
+                shard_index = jax.process_index()
+                shard_count = jax.process_count()
+            except Exception:
+                shard_index, shard_count = 0, 1
+        assert 0 <= shard_index < shard_count, (shard_index, shard_count)
+        assert batch_size % shard_count == 0, (batch_size, shard_count)
+        self.shard_index = shard_index
+        self.shard_count = shard_count
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -58,11 +79,17 @@ class BatchLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        per_host = self.batch_size // self.shard_count
+        lo = self.shard_index * per_host
+
         def producer():
             for b in range(n_batches):
                 if stop.is_set():
                     return
                 sl = idx[b * self.batch_size : (b + 1) * self.batch_size]
+                # this host's stripe of the global batch (identical idx
+                # permutation across hosts via the shared seed)
+                sl = sl[lo : lo + per_host]
                 batch = self._make_batch(sl)
                 if self.sharding is not None:
                     import jax

@@ -637,7 +637,10 @@ class SwinBlock(nn.Module):
                 with jax.named_scope("grouped_conv"):
                     branch = branch + conv(h)
             else:
-                _ = conv(h[:, :3, :3, :])
+                # touch params only — a dummy conv *call* is not free
+                # (measured: it made the no_conv ablation slower than
+                # the full model)
+                _ = conv.raw()
         if self.attention:
             wattn = WindowAttention(
                 c,

@@ -180,3 +180,25 @@ def test_dataset_cache_built_via_native_batch(imgdir, tmp_path):
         ds_b._build_one(i)
     for i in range(len(ds_a)):
         np.testing.assert_array_equal(ds_a[i], ds_b[i])
+
+
+def test_batch_loader_multihost_sharding(imgdir, tmp_path):
+    """Per-host stripes: same seed -> identical permutation across
+    'hosts'; each host gets a disjoint per_host slice of every global
+    batch, and the union reassembles the single-host batch."""
+    ds = ImageDataset([str(imgdir)], cache_dir=str(tmp_path / "c"), size=8)
+    whole = [b for b in BatchLoader(ds, 4, seed=3, prefetch=1)]
+    h0 = [b for b in BatchLoader(ds, 4, seed=3, prefetch=1,
+                                 shard_index=0, shard_count=2)]
+    h1 = [b for b in BatchLoader(ds, 4, seed=3, prefetch=1,
+                                 shard_index=1, shard_count=2)]
+    assert len(whole) == len(h0) == len(h1)
+    for w, a, b in zip(whole, h0, h1):
+        assert a.shape[0] == b.shape[0] == 2
+        np.testing.assert_array_equal(np.concatenate([a, b]), w)
+
+
+def test_batch_loader_shard_divisibility_checked(imgdir, tmp_path):
+    ds = ImageDataset([str(imgdir)], cache_dir=str(tmp_path / "c2"), size=8)
+    with pytest.raises(AssertionError):
+        BatchLoader(ds, 3, shard_index=0, shard_count=2)
