@@ -129,7 +129,7 @@ def test_block_core_custom_vjp_grads_match_xla():
         def f_fused(x, mul, gwa, wa, ck):
             out, h = bc._fused_block_core(
                 x, mul, bias, gwa, gba, gwb, gbb, gwc, gbc,
-                wa, ba, wb, bb, wc, bc_, ck, cb, ids, True)
+                wa, ba, wb, bb, wc, bc_, ck, cb, ids, True, False)
             return jnp.sum(out ** 2) + jnp.sum(h ** 2)
 
         g_fused = jax.grad(f_fused, argnums=(0, 1, 2, 3, 4))(
