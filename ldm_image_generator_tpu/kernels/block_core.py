@@ -204,34 +204,47 @@ def _kernel(eps, out_dtype, bt, hh, ww, c, gb, film_b1, add_residual,
 
 
 def _pick_tiles(b: int, hw: int, c: int, m: int, film_b1: bool):
-    """(batch_tile, hidden_chunk) under a ~10MB VMEM budget (the chip
-    has 16MB scoped vmem; leave headroom for Mosaic's own stack).
-    Every block whose index map varies across the grid is double-
-    buffered by Mosaic: x, film (unless batch-1), h, out, and the
-    streamed weight chunks. The fp32 accumulator is single."""
-    bt = b
+    """(batch_tile, hidden_chunk, fits) against the 16MB scoped-VMEM
+    limit, using a VERIFIED-ENVELOPE rule rather than an analytic
+    model: Mosaic's kernel-stack temporaries (fp32 norm/film
+    intermediates, the padded conv input, per-tap shifted slices and —
+    for multi-group convs — the per-tap column concats) dominate the
+    blocks-only estimate and proved hard to predict. Observed on
+    hardware:
+
+      * C=128 (single 128-group conv, no concat): tiles up to
+        rows*C = 512K elems compile (b1 latent-64) — cap there.
+      * C>=256 (gb>=2): rows*C = 262K OOMed at 16.43MB (b2 512px
+        C=256 stage); everything at rows*C <= 64K has compiled and run
+        repeatedly (all latent-32 b<=2 stages) — cap at 64K.
+      * FFN weights stream in hidden chunks; 9*C*mk*2 resident bf16
+        bytes capped at ~10MB (C=1024 runs mk=256 = 9.4MB)."""
+    gb = c // 128
+    # chunk the hidden dim so Mosaic pipelines the weight DMAs (see
+    # ffn_block._pick_tiles: ~2x streaming in the small-batch regime;
+    # at this kernel's b <= 2 gate the nb<=2 chunk re-fetch is cheap)
     mk = m
-    weight_bytes = lambda mk_: 9 * c * mk_ * 2 * 2 + 9 * c * 128 * 2
-    film_bytes = lambda bt_: (
-        2 * hw * c * 2 if film_b1 else 2 * bt_ * hw * c * 2 * 2
-    )
-    tile_bytes = lambda bt_: (
-        bt_ * hw * c * (3 * 2 * 2 + 4) + film_bytes(bt_)
-    )
-    while weight_bytes(mk) + tile_bytes(bt) > 12 * 1024 * 1024:
-        if bt % 2 == 0 and bt > 1:
-            bt //= 2
-        elif mk % 2 == 0 and mk > 256:
-            mk //= 2
-        else:
-            break
-    fits = weight_bytes(mk) + tile_bytes(bt) <= 12 * 1024 * 1024
-    if bt == b:
-        # single batch tile: chunk the hidden dim so Mosaic pipelines
-        # the weight DMAs (see ffn_block._pick_tiles; ~2x streaming)
-        target = 256 if m >= 512 else 128
-        if m % target == 0:
-            mk = min(mk, target)
+    target = 256 if m >= 512 else 128
+    if m % target == 0:
+        mk = min(mk, target)
+
+    def ok(bt_):
+        if gb <= 1:
+            # single-group conv (no per-tap concat): verified up to
+            # rows*C = 512K elems (b1 latent-64 C=128 compiles ~15.5MB)
+            return bt_ * hw * c <= 524288
+        # multi-group: fp32 per-tap temporaries measure ~90B/elem
+        # (C=1024: rows 16 -> ~12.2MB vs rows 64 -> 16.5MB OOM;
+        # C=256: rows 1024 -> 16.43MB OOM). Weights resident once,
+        # conv taps double-buffered.
+        est = (9 * c * mk * 2 + 9 * c * 128 * 2 * 2
+               + bt_ * hw * c * 90)
+        return est <= 14 * 1024 * 1024
+
+    bt = b
+    while bt > 1 and not ok(bt):
+        bt //= 2
+    fits = ok(bt) and 9 * c * mk * 2 <= 10 * 1024 * 1024
     return bt, mk, fits
 
 
