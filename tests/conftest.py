@@ -20,3 +20,18 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """The suite compiles hundreds of distinct programs across modules;
+    on the 8-virtual-device CPU backend the live-executable memory adds
+    up and has produced allocation aborts late in the run. Dropping
+    compiled programs between modules bounds the peak."""
+    yield
+    import jax
+
+    jax.clear_caches()

@@ -106,7 +106,7 @@ def test_ffn_block_custom_vjp_grads_match_xla():
         def f_fused(x, gwa, wa):
             out, h = fb._fused_ffn_block(
                 x, mul, bias, gwa, gba, gwb, gbb, gwc, gbc,
-                wa, ba, wb, bb, wc, bc, ids)
+                wa, ba, wb, bb, wc, bc, ids, False)
             return jnp.sum(out ** 2) + jnp.sum(h ** 2)
 
         gx, gg, gw = jax.grad(f_fused, argnums=(0, 1, 2))(x, gwa, wa)
