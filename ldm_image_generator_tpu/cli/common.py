@@ -42,11 +42,31 @@ def setup_device(name: str) -> None:
     if name == "cpu":
         jax.config.update("jax_platforms", "cpu")
     # persistent compilation cache: repeat CLI invocations skip the
-    # multi-minute XLA compiles (measured init 82s -> 17s)
-    cache_dir = os.environ.get(
-        "LDM_TPU_JAX_CACHE",
-        os.path.join(os.path.expanduser("~"), ".cache", "ldm_tpu_jax"),
-    )
+    # multi-minute XLA compiles (measured init 82s -> 17s). The path is
+    # suffixed with a host fingerprint: XLA's CPU AOT artifacts encode
+    # the build machine's instruction-set features and loading one from
+    # a different host can SIGILL/abort at execution time (observed —
+    # a cache hit on a cross-machine artifact crashed a later compile's
+    # execution in this very process). A per-host dir makes stale
+    # artifacts unreachable instead of merely warned about.
+    cache_dir = os.environ.get("LDM_TPU_JAX_CACHE")
+    if cache_dir is None:
+        import hashlib
+        import platform
+
+        sig = platform.machine() + platform.processor()
+        try:
+            with open("/proc/cpuinfo") as f:
+                for line in f:
+                    if line.startswith("flags"):
+                        sig += line
+                        break
+        except OSError:
+            pass
+        host = hashlib.sha1(sig.encode()).hexdigest()[:12]
+        cache_dir = os.path.join(
+            os.path.expanduser("~"), ".cache", f"ldm_tpu_jax-{host}"
+        )
     try:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)

@@ -120,29 +120,3 @@ def test_named_scopes_in_lowered_hlo():
                   "window_attention"):
         assert scope in text, f"named scope {scope!r} missing from HLO"
 
-
-def test_named_scopes_reach_lowered_hlo():
-    """Per-stage/per-branch jax.named_scope annotations must survive into
-    the compiled program's op metadata — that's what makes profiler
-    traces and compiler diagnostics attributable (e.g. VMEM errors report
-    'UNet/enc_stage_3/block_0/block_core/...' paths)."""
-    import jax
-    import jax.numpy as jnp
-
-    from ldm_image_generator_tpu.config import UNetConfig
-    from ldm_image_generator_tpu.models import UNet
-
-    cfg = UNetConfig(input_channels=4, channels=(8, 16), stages=(1, 1),
-                     head_dim=4)
-    unet = UNet(cfg)
-    x = jnp.zeros((1, 8, 8, 4))
-    t = jnp.zeros((1,), jnp.int32)
-    key = jax.random.PRNGKey(0)
-    params = unet.init({"params": key, "moe": key}, x, t)
-    txt = jax.jit(
-        lambda p, x, t: unet.apply(p, x, t, deterministic=True,
-                                   rngs={"moe": jax.random.PRNGKey(1)})
-    ).lower(params, x, t).as_text(debug_info=True)
-    for scope in ("enc_stage_0", "dec_stage_1", "norm_film",
-                  "window_attention", "grouped_conv"):
-        assert scope in txt, f"named scope {scope} missing from HLO"
