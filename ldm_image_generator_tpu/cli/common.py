@@ -41,14 +41,18 @@ def setup_device(name: str) -> None:
 
     if name == "cpu":
         jax.config.update("jax_platforms", "cpu")
+        # No persistent compilation cache on CPU: XLA's CPU AOT loader
+        # proved unreliable here — loading cached CPU artifacts (even
+        # same-host, written minutes earlier by the same process tree)
+        # aborted later executions with SIGILL-class crashes, observed
+        # deterministically in full test-suite runs. The big cache win
+        # is the TPU path's multi-minute compiles anyway.
+        return
     # persistent compilation cache: repeat CLI invocations skip the
-    # multi-minute XLA compiles (measured init 82s -> 17s). The path is
-    # suffixed with a host fingerprint: XLA's CPU AOT artifacts encode
-    # the build machine's instruction-set features and loading one from
-    # a different host can SIGILL/abort at execution time (observed —
-    # a cache hit on a cross-machine artifact crashed a later compile's
-    # execution in this very process). A per-host dir makes stale
-    # artifacts unreachable instead of merely warned about.
+    # multi-minute XLA compiles (measured init 82s -> 17s on TPU). The
+    # path is suffixed with a host fingerprint: AOT artifacts encode the
+    # build machine's instruction-set features and a different host's
+    # artifacts can crash at execution.
     cache_dir = os.environ.get("LDM_TPU_JAX_CACHE")
     if cache_dir is None:
         import hashlib
