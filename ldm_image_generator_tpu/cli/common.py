@@ -133,11 +133,31 @@ def float_to_image(arr: np.ndarray) -> np.ndarray:
 
 
 def maybe_load(path: str, target, torch_converter) -> Optional[object]:
-    """Load params from path if it exists (msgpack or torch), else None."""
+    """Load params from path if it exists (msgpack or torch), else None.
+
+    Validates loaded leaf shapes against the initialized tree up front,
+    so an incompatible checkpoint (e.g. a pixel-space 3-channel DDPM
+    model passed to the 8-channel LDM sampler) fails with a clear
+    message instead of a shape error deep inside a jitted apply."""
     if not os.path.exists(path):
         return None
     from ldm_image_generator_tpu.utils.checkpoint import load_params
 
     loaded = load_params(path, target, torch_converter)
+
+    import jax
+
+    got = jax.tree.leaves(loaded)
+    want = jax.tree.leaves(target)
+    for g, w in zip(got, want):
+        gs = tuple(getattr(g, "shape", ()))
+        ws = tuple(getattr(w, "shape", ()))
+        if gs != ws:
+            raise SystemExit(
+                f"Error: checkpoint {path!r} does not match this model "
+                f"config (param shape {gs} vs expected {ws}). Check the "
+                f"--config preset and that the checkpoint was trained "
+                f"for this model."
+            )
     print(f"Loaded checkpoint: {path}")
     return loaded
