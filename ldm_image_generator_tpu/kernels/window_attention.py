@@ -18,14 +18,17 @@ Training: fused_window_mha carries a custom VJP whose backward pass is
 the XLA reference implementation's VJP (forward recompute) — gradients
 flow, and the backward matmuls are plain XLA.
 
-Status: numerically verified on TPU (max |err| ~0.02 in bf16) but
-measured ~13% SLOWER than XLA's lowering at the production shapes
-(36-token windows, C=512, 16 heads): Mosaic's tpu.matmul takes one batch
-dim, so heads loop statically over small [TN, 36, 36] matmuls, and the
-4-D transpose that would batch (TN*H) crashes the Mosaic compiler in
-this environment. Kept as an opt-in backend (UNetConfig.
-attention_backend='pallas') with equivalence + grad tests; the default
-path is XLA.
+Status (round 2, measured per production shape at b64): WINS where the
+per-head loop is short relative to the saved HBM traffic — 4-head
+36-token windows (2.21 vs 3.62 ms, -39%) and <=16-token full-map
+attention at 32 heads (0.25 vs 0.39 ms, -36%); ties at 8 heads and
+loses ~12% at 16-head 36-token windows. The default 'auto' backend
+(models/layers.MultiHeadAttention) engages it exactly in the winning
+regimes. Scaling limit: Mosaic's tpu.matmul takes one batch dim, so
+heads loop statically over small [TN, L, L] matmuls; both the
+(TN*H)-batching 4-D transpose and a head-folding block-masked joint
+matmul (exact in interpret mode) crash this environment's Mosaic
+compiler.
 """
 from __future__ import annotations
 
@@ -106,12 +109,16 @@ def _make_kernel(num_heads: int, tn: int, l: int, c: int, out_dtype):
     jax.jit, static_argnames=("num_heads", "tile_windows", "interpret")
 )
 def window_mha_pallas(x, mask, wq, bq, wk, bk, wv, bv, wo, bo,
-                      num_heads: int, tile_windows: int = 8,
+                      num_heads: int, tile_windows: int = 0,
                       interpret: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     n, l, c = x.shape
+    if tile_windows == 0:
+        # measured: 8 windows/tile best at 36-token windows, 16 at the
+        # short (<=16 token) full-map sequences
+        tile_windows = 8 if l > 16 else 16
     tn = min(tile_windows, n)
     if mask is None:
         bias = jnp.zeros((n, l), dtype=jnp.float32)

@@ -58,9 +58,13 @@ class MultiHeadAttention(nn.Module):
     channels: int
     num_heads: int
     # 'auto': fused Pallas self-attention where it measures faster than
-    # XLA's lowering — <= 4 heads (benchmarks/attn_shapes.py at b64:
-    # 4 heads 2.21 vs 3.62 ms, 8 heads ~tie, 16 heads 12% slower; the
-    # static per-head loop in the kernel is the scaling limit).
+    # XLA's lowering (benchmarks/attn_shapes.py + /tmp probes at b64):
+    # <= 4 heads (2.21 vs 3.62 ms, -39%) and short sequences <= 16
+    # tokens (the window-bypass full-map case: 0.25 vs 0.39 ms, -36%).
+    # 8/16-head 36-token windows stay on XLA (tie / +12%; the static
+    # per-head loop in the kernel is the scaling limit — head-folding
+    # into block-masked joint matmuls was measured exact in interpret
+    # mode but crashes this environment's Mosaic compiler).
     # 'pallas'/'xla' force the backend.
     backend: str = "auto"
     dtype: Dtype = jnp.float32
@@ -85,7 +89,7 @@ class MultiHeadAttention(nn.Module):
         )
 
         use_fused = self.backend == "pallas" or (
-            self.backend == "auto" and h <= 4
+            self.backend == "auto" and (h <= 4 or q_in.shape[1] <= 16)
         )
         if (
             use_fused
