@@ -140,8 +140,14 @@ def make_handler(server, jpeg_encode):
             if url.path != "/sample":
                 return self._send(404, b'{"error": "not found"}')
             n = int(self.headers.get("Content-Length", 0))
-            body = json.loads(self.rfile.read(n) or b"{}")
-            self._sample(int(body.get("seed", 0)))
+            try:
+                body = json.loads(self.rfile.read(n) or b"{}")
+                seed = int(body.get("seed", 0))
+            except (ValueError, TypeError, AttributeError) as e:
+                return self._send(
+                    400, json.dumps({"error": f"bad request: {e}"}).encode()
+                )
+            self._sample(seed)
 
     return Handler
 

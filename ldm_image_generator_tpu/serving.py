@@ -80,7 +80,10 @@ class SamplerServer:
     def warmup(self) -> None:
         """Precompile every batch bucket (first calls are slow on TPU)."""
         for b in self.buckets:
-            np.asarray(self._sample(jax.random.PRNGKey(0), b))
+            keys = jax.numpy.stack(
+                [jax.random.PRNGKey(i) for i in range(b)]
+            )
+            np.asarray(self._sample(keys, b))
 
     def start(self) -> "SamplerServer":
         assert self._worker is None, "already started"

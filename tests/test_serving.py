@@ -25,6 +25,7 @@ def make_tiny_sample():
 def test_server_batches_and_resolves_all():
     srv = SamplerServer(make_tiny_sample(), batch_buckets=(1, 2, 4),
                         max_wait_ms=50)
+    srv.warmup()  # same stacked-keys contract as the worker
     with srv:
         futs = [srv.submit(i) for i in range(10)]
         imgs = [f.result(timeout=30) for f in futs]
