@@ -12,7 +12,7 @@ dimension first-class (the reference hardcodes batch=1, sample_ldm.py:72).
 from __future__ import annotations
 
 import functools
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -44,7 +44,7 @@ def cast_floating(tree, dtype):
 
 
 def make_cached_denoise(unet, unet_params, num_timesteps: int,
-                        num_steps: int, probe_shape):
+                        num_steps: int, probe_shape, steps=None):
     """Build a denoise_fn closing over a precomputed FiLM schedule cache.
 
     The UNet's FiLM towers are ~184M of the default 385.7M params and
@@ -56,10 +56,18 @@ def make_cached_denoise(unet, unet_params, num_timesteps: int,
     the same module computes the same values, just batched over t.
 
     Both the DDIM (ddpm.py:64-72 semantics) and DPM-Solver++ samplers
-    draw t from the descending linspace over [0, T-1], so the cache is
-    keyed by position via an exact t-value match.
+    draw t from the descending linspace over [0, T-1] when `steps` is
+    None, or from an explicit `steps` list; the cache covers exactly the
+    same value set, keyed by an exact t-value match.
+
+    Checked invariant: a timestep outside the cached schedule poisons
+    the FiLM slice with NaN so a cache miss fails loudly (all-NaN
+    output) instead of silently conditioning with index 0's values.
     """
-    ts_np = np.linspace(0, num_timesteps - 1, num_steps).astype(np.int32)
+    if steps is None:
+        ts_np = np.linspace(0, num_timesteps - 1, num_steps).astype(np.int32)
+    else:
+        ts_np = np.asarray(sorted(set(int(s) for s in steps)), dtype=np.int32)
     ts_arr = jnp.asarray(ts_np[::-1].copy())
     probe = jnp.zeros(probe_shape, jnp.float32)
     film_cache = unet.apply(
@@ -67,8 +75,13 @@ def make_cached_denoise(unet, unet_params, num_timesteps: int,
     )
 
     def denoise(x, t_vec, k):
-        i = jnp.argmax(ts_arr == t_vec[0])
-        film_i = jax.tree.map(lambda a: a[i][None], film_cache)
+        matches = ts_arr == t_vec[0]
+        i = jnp.argmax(matches)
+        hit = jnp.any(matches)
+        film_i = jax.tree.map(
+            lambda a: jnp.where(hit, a[i], jnp.nan).astype(a.dtype)[None],
+            film_cache,
+        )
         return unet.apply(
             unet_params, x, t_vec, deterministic=True, film=film_i,
             rngs={"moe": k},
@@ -102,7 +115,7 @@ class LDMPipeline:
         self.unet_cfg = unet_cfg
         self.vae_cfg = vae_cfg
 
-    @functools.partial(jax.jit, static_argnums=(0, 4, 5, 6, 7, 8, 9))
+    @functools.partial(jax.jit, static_argnums=(0, 4, 5, 6, 7, 8, 9, 11))
     def sample(
         self,
         unet_params,
@@ -115,6 +128,7 @@ class LDMPipeline:
         sampler: str = "ddim",
         film_cache: bool = True,
         init_noise: Optional[jnp.ndarray] = None,
+        steps: Optional[Tuple[int, ...]] = None,
     ) -> jnp.ndarray:
         """Returns uint8 images [batch, image_size, image_size, 3].
 
@@ -125,7 +139,10 @@ class LDMPipeline:
         weight streaming; see make_cached_denoise).
         init_noise: explicit x_T [batch, latent, latent, C] — used by the
         serving layer to give each request its own seed regardless of
-        how requests are batched together."""
+        how requests are batched together.
+        steps: explicit timestep schedule (tuple, static) overriding the
+        linspace derived from num_steps (ddpm.py:66-72's explicit-list
+        mode); the FiLM cache is built from the same schedule."""
         latent = image_size // self.vae_cfg.downscale
         shape = (batch, latent, latent, self.unet_cfg.input_channels)
         unet_params = cast_floating(unet_params, self.unet.dtype)
@@ -135,6 +152,7 @@ class LDMPipeline:
             denoise = make_cached_denoise(
                 self.unet, unet_params, self.schedule.num_timesteps,
                 num_steps, (1, latent, latent, self.unet_cfg.input_channels),
+                steps=steps,
             )
         else:
             def denoise(x, t_vec, k):
@@ -146,11 +164,13 @@ class LDMPipeline:
             z = dpm_solver_sample(
                 denoise, self.schedule, key, shape, num_steps=num_steps,
                 prediction=self.prediction, init_noise=init_noise,
+                steps=steps,
             )
         else:
             z = ddim_sample(
                 denoise, self.schedule, key, shape, num_steps=num_steps,
                 eta=eta, prediction=self.prediction, init_noise=init_noise,
+                steps=steps,
             )
         img = self.decoder.apply(decoder_params, z)
         return to_uint8(img)
@@ -172,7 +192,7 @@ class DDPMPipeline:
         self.schedule = make_schedule(ddpm_cfg)
         self.prediction = ddpm_cfg.prediction
 
-    @functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6, 7, 8))
+    @functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6, 7, 8, 9))
     def sample(
         self,
         unet_params,
@@ -183,6 +203,7 @@ class DDPMPipeline:
         eta: float = 0.0,
         sampler: str = "ddim",
         film_cache: bool = True,
+        steps: Optional[Tuple[int, ...]] = None,
     ) -> jnp.ndarray:
         shape = (batch, image_size, image_size, self.unet_cfg.input_channels)
         unet_params = cast_floating(unet_params, self.unet.dtype)
@@ -192,6 +213,7 @@ class DDPMPipeline:
                 self.unet, unet_params, self.schedule.num_timesteps,
                 num_steps,
                 (1, image_size, image_size, self.unet_cfg.input_channels),
+                steps=steps,
             )
         else:
             def denoise(x, t_vec, k):
@@ -202,11 +224,11 @@ class DDPMPipeline:
         if sampler == "dpm++2m":
             x = dpm_solver_sample(
                 denoise, self.schedule, key, shape, num_steps=num_steps,
-                prediction=self.prediction,
+                prediction=self.prediction, steps=steps,
             )
         else:
             x = ddim_sample(
                 denoise, self.schedule, key, shape, num_steps=num_steps,
-                eta=eta, prediction=self.prediction,
+                eta=eta, prediction=self.prediction, steps=steps,
             )
         return to_uint8(x)
