@@ -117,7 +117,15 @@ def make_handler(server, jpeg_encode):
             self.wfile.write(body)
 
         def _sample(self, seed: int):
-            img = server.sample_sync(seed, timeout=600)
+            # any sampler failure (timeout included) must come back as
+            # an HTTP error, not a dropped connection
+            try:
+                img = server.sample_sync(seed, timeout=600)
+            except Exception as e:
+                return self._send(
+                    500,
+                    json.dumps({"error": f"sampling failed: {e}"}).encode(),
+                )
             self._send(200, jpeg_encode(img), "image/jpeg")
 
         def do_GET(self):
@@ -130,7 +138,12 @@ def make_handler(server, jpeg_encode):
                     "mean_batch": round(s.mean_batch, 2),
                 }).encode())
             elif url.path == "/sample":
-                seed = int(parse_qs(url.query).get("seed", ["0"])[0])
+                try:
+                    seed = int(parse_qs(url.query).get("seed", ["0"])[0])
+                except ValueError as e:
+                    return self._send(
+                        400, json.dumps({"error": f"bad seed: {e}"}).encode()
+                    )
                 self._sample(seed)
             else:
                 self._send(404, b'{"error": "not found"}')

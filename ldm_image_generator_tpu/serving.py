@@ -7,10 +7,12 @@ one chip), so the serving layer's job is to coalesce concurrent
 requests into fixed-size jitted batches:
 
   * Requests enqueue via submit() (thread-safe) and resolve as futures.
-  * A worker thread drains the queue, rounds the group DOWN to the
-    largest precompiled batch bucket (power-of-two ladder), and runs
-    one jitted sample call per group. Fixed buckets mean zero
-    recompiles in steady state; warmup() precompiles the ladder.
+  * A worker thread drains the queue, rounds the group UP to the
+    smallest precompiled batch bucket that fits (power-of-two ladder)
+    and pads with dummy seeds — e.g. 3 requests run as one batch-4 call
+    (the padded slot's compute is the price of zero recompiles); groups
+    larger than the top bucket are split. warmup() precompiles the
+    ladder. Fixed buckets mean zero recompiles in steady state.
   * max_wait_ms bounds the latency cost of waiting for a fuller batch:
     the worker takes what's there once the oldest request has waited
     long enough.
@@ -39,10 +41,21 @@ class _Request:
 
 @dataclasses.dataclass
 class ServerStats:
+    """Counters mutated from both the submit() callers and the worker
+    thread — all writes go through add() under the lock (plain `+=` on
+    a shared dataclass is a lost-update race)."""
     requests: int = 0
     batches: int = 0
     images: int = 0
     padded_images: int = 0
+
+    def __post_init__(self):
+        self._lock = threading.Lock()
+
+    def add(self, **deltas: int) -> None:
+        with self._lock:
+            for name, d in deltas.items():
+                setattr(self, name, getattr(self, name) + d)
 
     @property
     def mean_batch(self) -> float:
@@ -108,7 +121,7 @@ class SamplerServer:
         """Enqueue one image request; resolves to uint8 [H, W, 3]."""
         fut: Future = Future()
         self._q.put(_Request(int(seed), fut, time.monotonic()))
-        self.stats.requests += 1
+        self.stats.add(requests=1)
         return fut
 
     def sample_sync(self, seed: int, timeout: Optional[float] = None):
@@ -159,9 +172,8 @@ class SamplerServer:
                     [jax.random.PRNGKey(s) for s in seeds]
                 )
                 imgs = np.asarray(self._sample(keys, bucket))
-                self.stats.batches += 1
-                self.stats.images += len(group)
-                self.stats.padded_images += pad
+                self.stats.add(batches=1, images=len(group),
+                               padded_images=pad)
                 for r, img in zip(group, imgs):
                     r.future.set_result(img)
             except Exception as e:  # pragma: no cover - propagate to callers
