@@ -97,7 +97,7 @@ def main():
                                         crop_size=0))
     recon_first = recon_last = None
     for i in range(steps):
-        vstate, vm, recon = vstep(vstate, images, jax.random.PRNGKey(i))
+        vstate, vm, (recon, _) = vstep(vstate, images, jax.random.PRNGKey(i))
         if i == 0:
             recon_first = float(vm["recon"])
         recon_last = float(vm["recon"])

@@ -168,7 +168,7 @@ def main(argv=None):
         for epoch in range(args.epoch):
             print(f"Epoch #{epoch}")
             for batch_idx, images in enumerate(loader):
-                state, metrics, recon = step_fn(
+                state, metrics, (recon, cropped) = step_fn(
                     state, jnp.asarray(images), jax.random.fold_in(key, gstep)
                 )
                 gstep += 1
@@ -186,8 +186,11 @@ def main(argv=None):
                         float_to_image(y),
                         os.path.join(args.result, f"{batch_idx}_reconstructed.jpg"),
                     )
+                    # the exact crop the reconstruction was computed from
+                    # (reference saves the actual cropped tensor,
+                    # train_vae.py:139-149)
                     save_image(
-                        float_to_image(np.asarray(images[0])[:crop, :crop]),
+                        float_to_image(np.asarray(jax.device_get(cropped[0]))),
                         os.path.join(args.result, f"{batch_idx}_input.jpg"),
                     )
     except KeyboardInterrupt:

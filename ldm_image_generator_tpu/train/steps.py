@@ -79,7 +79,13 @@ def make_vae_train_step(
     crop_size: int = 192,
     noise_gain: float = 0.1,
 ) -> Callable:
-    """Returns step(state, images, key) -> (state, metrics, recon_images)."""
+    """Returns step(state, images, key) -> (state, metrics,
+    (recon_images, cropped_inputs)).
+
+    The cropped inputs are returned so debug dumps can save the exact
+    tensor the reconstruction corresponds to (the reference saves the
+    actual cropped input, train_vae.py:139-149 — a fixed top-left crop
+    would not match the random crop used in the step)."""
 
     def step(state: VAETrainState, images: jnp.ndarray, key: jax.Array):
         k_crop, k_noise = jax.random.split(key)
@@ -138,7 +144,7 @@ def make_vae_train_step(
             "adv": adv,
             "d_loss": d_loss,
         }
-        return new_state, metrics, y_detached
+        return new_state, metrics, (y_detached, images)
 
     return step
 

