@@ -94,7 +94,16 @@ class BatchLoader:
                 if self.sharding is not None:
                     import jax
 
-                    batch = jax.device_put(batch, self.sharding)
+                    if self.shard_count > 1:
+                        # multi-host: each process holds only its stripe;
+                        # assemble the global array from per-process local
+                        # data (device_put of a per-host-shaped array
+                        # against a multi-process sharding is wrong)
+                        batch = jax.make_array_from_process_local_data(
+                            self.sharding, batch
+                        )
+                    else:
+                        batch = jax.device_put(batch, self.sharding)
                 q.put(batch)
             q.put(None)
 
