@@ -168,9 +168,12 @@ def _kernel(eps, out_dtype, quantized: bool = False):
 
 
 def _pick_tiles(n: int, c: int, m: int):
-    """(tile_rows, hidden_chunk): keep resident weights + tiles within
-    ~12MB of VMEM. Small stages run unchunked (nk=1, the round-1 kernel
-    schedule); C=1024 runs 4 chunks of 256."""
+    """(tile_rows, hidden_chunk, fits): keep resident weights + tiles
+    within ~12MB of VMEM. Small stages run unchunked (nk=1, the round-1
+    kernel schedule); C=1024 runs 4 chunks of 256. `fits` is False when
+    no (tm, mk) meets the budget (mk floors at 256, tm at 128) — the
+    dispatcher must then take the XLA path instead of handing Mosaic a
+    kernel that cannot compile."""
     tm = min(512, n)
     mk = m
     # 3 ReGLUs x (2 [C, mk] + 1 [mk, C]) bf16 weight blocks resident,
@@ -185,6 +188,7 @@ def _pick_tiles(n: int, c: int, m: int):
             tm //= 2
         else:
             break
+    fits = weight_bytes(mk) + tile_bytes(tm) <= 12 * 1024 * 1024
     if n <= tm:
         # single row tile: chunk the hidden dim anyway so Mosaic can
         # pipeline the weight DMAs across grid steps — measured ~2x
@@ -194,7 +198,7 @@ def _pick_tiles(n: int, c: int, m: int):
         target = 256 if m >= 512 else 128
         if m % target == 0:
             mk = min(mk, target)
-    return tm, mk
+    return tm, mk, fits
 
 
 @functools.partial(
@@ -216,7 +220,7 @@ def ffn_block_pallas(x, film_mul, film_bias, gwa, gba, gwb, gbb, gwc, gbc,
     n, c = x.shape
     m = wa.shape[-1]
     e = wa.shape[0]
-    tm, mk = _pick_tiles(n, c, m)
+    tm, mk, _ = _pick_tiles(n, c, m)
     if tile_rows:
         tm = min(tile_rows, n)
     if hidden_chunk and m % hidden_chunk == 0:
@@ -303,10 +307,19 @@ def ffn_block_pallas(x, film_mul, film_bias, gwa, gba, gwb, gbb, gwc, gbc,
 
 def fake_quantize(w, bias):
     """Round-trip through the int8 per-output-channel scheme — the XLA
-    reference semantics of `quantized=True` (for CPU fallback/tests)."""
+    reference semantics of `quantized=True` (for CPU fallback/tests).
+
+    Gradients are straight-through to the full-precision weights
+    (w + stop_grad(dequant(quant(w)) - w)): differentiating through the
+    round() would zero the weight gradient a.e., silently diverging from
+    the fused TPU path's full-precision recompute VJP."""
     wq, sb = quantize_cols(w, bias)
     wdq, b = dequantize_cols(wq, sb)
-    return wdq.astype(w.dtype), b.astype(bias.dtype)
+    wdq = wdq.astype(w.dtype)
+    b = b.astype(bias.dtype)
+    w_ste = w + jax.lax.stop_gradient(wdq - w)
+    b_ste = bias + jax.lax.stop_gradient(b - bias)
+    return w_ste, b_ste
 
 
 def ffn_block(x, film_mul, film_bias, gwa, gba, gwb, gbb, gwc, gbc,
@@ -320,10 +333,25 @@ def ffn_block(x, film_mul, film_bias, gwa, gba, gwb, gbb, gwc, gbc,
         jax.default_backend() in ("tpu", "axon")
         and x.shape[-1] % 128 == 0
         and wa.shape[-1] % 128 == 0
+        # VMEM feasibility: a config no (tile, chunk) schedule fits
+        # (e.g. C > 1024) must fall back rather than fail Mosaic compile
+        and _pick_tiles(x.shape[0], x.shape[-1], wa.shape[-1])[2]
     ):
-        return _fused_ffn_block(x, film_mul, film_bias, gwa, gba, gwb, gbb,
-                                gwc, gbc, wa, ba, wb, bb, wc, bc,
-                                expert_ids, quantized)
+        from ldm_image_generator_tpu.kernels.dispatch import pallas_usable
+
+        arrs = (x, film_mul, film_bias, gwa, gba, gwb, gbb, gwc, gbc,
+                wa, ba, wb, bb, wc, bc, expert_ids)
+        sig = tuple((a.shape, jnp.dtype(a.dtype).name) for a in arrs) + (
+            quantized,
+        )
+        thunk = lambda: ffn_block_pallas.lower(
+            *[jax.ShapeDtypeStruct(a.shape, a.dtype) for a in arrs],
+            quantized=quantized,
+        ).compile()
+        if pallas_usable("ffn_block", sig, thunk):
+            return _fused_ffn_block(x, film_mul, film_bias, gwa, gba, gwb,
+                                    gbb, gwc, gbc, wa, ba, wb, bb, wc, bc,
+                                    expert_ids, quantized)
     if quantized:
         gwa, gba = fake_quantize(gwa, gba)
         gwb, gbb = fake_quantize(gwb, gbb)

@@ -100,6 +100,45 @@ def test_quantized_error_vs_full_precision_bounded():
     assert rel < 0.02, rel  # ~0.3% typical for per-channel int8
 
 
+def test_fake_quantize_straight_through_gradient():
+    """fake_quantize must carry straight-through gradients: rounding has
+    zero derivative a.e., so differentiating through it would silently
+    kill FFN weight gradients on the non-fused (CPU) path while the
+    fused TPU path uses a full-precision recompute VJP."""
+    w = jax.random.normal(jax.random.PRNGKey(0), (16, 24)) * 0.1
+    b = jax.random.normal(jax.random.PRNGKey(1), (24,)) * 0.1
+    v = jax.random.normal(jax.random.PRNGKey(2), (8, 16))
+
+    def loss(w_, b_):
+        wq, bq = fake_quantize(w_, b_)
+        return jnp.sum((v @ wq + bq) ** 2)
+
+    gw, gb = jax.grad(loss, argnums=(0, 1))(w, b)
+    assert float(jnp.linalg.norm(gw)) > 0.0
+    assert float(jnp.linalg.norm(gb)) > 0.0
+    # straight-through == gradient of the same loss at the dequantized
+    # point w.r.t. the dequantized weights (identity jacobian)
+    wq, bq = fake_quantize(w, b)
+    gw_ref, gb_ref = jax.grad(
+        lambda w_, b_: jnp.sum((v @ w_ + b_) ** 2), argnums=(0, 1)
+    )(jax.lax.stop_gradient(wq), jax.lax.stop_gradient(bq))
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_ref), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(gb_ref), rtol=1e-6)
+
+
+def test_pick_tiles_reports_infeasible():
+    """C beyond the VMEM envelope must report fits=False so the
+    dispatcher falls back to XLA instead of failing Mosaic compile."""
+    from ldm_image_generator_tpu.kernels.ffn_block import _pick_tiles
+
+    tm, mk, fits = _pick_tiles(64, 1024, 1024)
+    assert fits
+    # 4096x4096 weights: 9*4096*256*2*2 bytes ≈ 18.9MB > 12MB at the
+    # mk=256 floor -> infeasible
+    _, _, fits_big = _pick_tiles(64, 4096, 4096)
+    assert not fits_big
+
+
 def test_block_core_quantized_interpret():
     from ldm_image_generator_tpu.kernels.block_core import (
         block_core_pallas, block_core_xla,
