@@ -395,11 +395,23 @@ def block_core(x, film_mul, film_bias, gwa, gba, gwb, gbb, gwc, gbc,
     Pallas path). Returns (out, h)."""
     if block_core_supported(x.shape, wa.shape[-1], conv_kernel.shape[2],
                             film_mul.shape[0]):
-        return _fused_block_core(
-            x, film_mul, film_bias, gwa, gba, gwb, gbb, gwc, gbc,
-            wa, ba, wb, bb, wc, bc, conv_kernel, conv_bias, expert_ids,
+        from ldm_image_generator_tpu.kernels.dispatch import pallas_usable
+
+        arrs = (x, film_mul, film_bias, gwa, gba, gwb, gbb, gwc, gbc,
+                wa, ba, wb, bb, wc, bc, conv_kernel, conv_bias, expert_ids)
+        sig = tuple((a.shape, jnp.dtype(a.dtype).name) for a in arrs) + (
             add_residual, quantized,
         )
+        thunk = lambda: block_core_pallas.lower(
+            *[jax.ShapeDtypeStruct(a.shape, a.dtype) for a in arrs],
+            add_residual=add_residual, quantized=quantized,
+        ).compile()
+        if pallas_usable("block_core", sig, thunk):
+            return _fused_block_core(
+                x, film_mul, film_bias, gwa, gba, gwb, gbb, gwc, gbc,
+                wa, ba, wb, bb, wc, bc, conv_kernel, conv_bias, expert_ids,
+                add_residual, quantized,
+            )
     if quantized:
         from ldm_image_generator_tpu.kernels.ffn_block import fake_quantize
 

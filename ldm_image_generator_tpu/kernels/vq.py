@@ -90,7 +90,15 @@ def nearest_codebook_indices(x: jnp.ndarray, codebook: jnp.ndarray
     flat = x.reshape(-1, x.shape[-1])
     backend = jax.default_backend()
     if backend in ("tpu", "axon"):
-        idx = nearest_codebook_indices_pallas(flat, codebook)
-    else:
-        idx = nearest_codebook_indices_xla(flat, codebook)
-    return idx.reshape(shape)
+        from ldm_image_generator_tpu.kernels.dispatch import pallas_usable
+
+        sig = (flat.shape, jnp.dtype(flat.dtype).name, codebook.shape)
+        thunk = lambda: nearest_codebook_indices_pallas.lower(
+            jax.ShapeDtypeStruct(flat.shape, flat.dtype),
+            jax.ShapeDtypeStruct(codebook.shape, codebook.dtype),
+        ).compile()
+        if pallas_usable("vq", sig, thunk):
+            return nearest_codebook_indices_pallas(flat, codebook).reshape(
+                shape
+            )
+    return nearest_codebook_indices_xla(flat, codebook).reshape(shape)

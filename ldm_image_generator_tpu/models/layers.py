@@ -97,13 +97,26 @@ class MultiHeadAttention(nn.Module):
             and c % 128 == 0
             and jax.default_backend() in ("tpu", "axon")
         ):
+            from ldm_image_generator_tpu.kernels.dispatch import pallas_usable
             from ldm_image_generator_tpu.kernels.window_attention import (
                 fused_window_mha,
+                window_mha_pallas,
             )
 
-            return fused_window_mha(
-                q_in.astype(dt), key_padding_mask, *weights, num_heads=h
-            )
+            x_in = q_in.astype(dt)
+            sig = (x_in.shape, jnp.dtype(x_in.dtype).name,
+                   key_padding_mask is not None, h)
+            thunk = lambda: window_mha_pallas.lower(
+                jax.ShapeDtypeStruct(x_in.shape, x_in.dtype),
+                None if key_padding_mask is None else jax.ShapeDtypeStruct(
+                    key_padding_mask.shape, key_padding_mask.dtype),
+                *[jax.ShapeDtypeStruct(w.shape, w.dtype) for w in weights],
+                num_heads=h,
+            ).compile()
+            if pallas_usable("window_attention", sig, thunk):
+                return fused_window_mha(
+                    x_in, key_padding_mask, *weights, num_heads=h
+                )
 
         if q_in is kv_in:
             # pack qkv into one MXU matmul (the concat is loop-invariant

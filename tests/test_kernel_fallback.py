@@ -1,0 +1,165 @@
+"""Pallas dispatch safety rails (kernels/dispatch.py).
+
+The block_core/ffn_block VMEM envelopes are calibrated on one Mosaic
+build (round-2 verdict weak #6); these tests force both failure modes —
+kill-switch and probe-compile failure — and prove every dispatcher
+degrades to the XLA path with correct results instead of dying in
+Mosaic compilation.
+
+The CPU test backend doubles as the "hostile chip": monkeypatching
+jax.default_backend to 'tpu' makes the dispatchers take their Pallas
+branch, and actually compiling a Pallas TPU kernel on the CPU host
+fails for real — a genuine forced compile failure, not a mock.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ldm_image_generator_tpu.kernels import dispatch
+
+
+@pytest.fixture(autouse=True)
+def _clean(monkeypatch):
+    dispatch.clear_probe_cache()
+    monkeypatch.delenv("LDM_TPU_NO_PALLAS", raising=False)
+    monkeypatch.delenv("LDM_TPU_PALLAS_PROBE", raising=False)
+    yield
+    dispatch.clear_probe_cache()
+
+
+def test_kill_switch_parsing(monkeypatch):
+    assert not dispatch.kill_switched("block_core")
+    monkeypatch.setenv("LDM_TPU_NO_PALLAS", "1")
+    assert dispatch.kill_switched("block_core")
+    assert dispatch.kill_switched("vq")
+    monkeypatch.setenv("LDM_TPU_NO_PALLAS", "block_core, window_attention")
+    assert dispatch.kill_switched("block_core")
+    assert dispatch.kill_switched("window_attention")
+    assert not dispatch.kill_switched("ffn_block")
+    monkeypatch.setenv("LDM_TPU_NO_PALLAS", "0")
+    assert not dispatch.kill_switched("block_core")
+
+
+def test_probe_failure_caches_and_falls_back(monkeypatch):
+    monkeypatch.setenv("LDM_TPU_PALLAS_PROBE", "1")
+    calls = []
+
+    def boom():
+        calls.append(1)
+        raise RuntimeError("mosaic says no")
+
+    with pytest.warns(UserWarning, match="falling back"):
+        assert not dispatch.pallas_usable("ffn_block", ("sig",), boom)
+    # verdict cached: the failing compile runs once per signature
+    assert not dispatch.pallas_usable("ffn_block", ("sig",), boom)
+    assert len(calls) == 1
+    assert dispatch.pallas_usable("ffn_block", ("other",), lambda: None)
+
+
+def _ffn_args(n=8, c=128, m=128, e=4):
+    ks = jax.random.split(jax.random.PRNGKey(0), 16)
+    r = lambda k, shape: jax.random.normal(k, shape) * 0.05
+    return (
+        jax.random.normal(ks[0], (n, c)),
+        jnp.ones((n, c)), jnp.zeros((n, c)),
+        r(ks[1], (c, m)), r(ks[2], (m,)), r(ks[3], (c, m)), r(ks[4], (m,)),
+        r(ks[5], (m, c)), r(ks[6], (c,)),
+        r(ks[7], (e, c, m)), r(ks[8], (e, m)), r(ks[9], (e, c, m)),
+        r(ks[10], (e, m)), r(ks[11], (e, m, c)), r(ks[12], (e, c)),
+        jnp.asarray([0, 2], jnp.int32),
+    )
+
+
+def test_ffn_block_dispatcher_survives_forced_compile_failure(monkeypatch):
+    """On a 'TPU' where the Pallas kernel cannot compile (really: the CPU
+    host, where TPU Mosaic lowering genuinely fails), the probe must
+    route to the XLA path and produce correct results."""
+    from ldm_image_generator_tpu.kernels.ffn_block import (
+        ffn_block, ffn_block_xla,
+    )
+
+    args = _ffn_args()
+    want = ffn_block_xla(*args[:-1], 0, 2)
+
+    monkeypatch.setenv("LDM_TPU_PALLAS_PROBE", "1")
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    with pytest.warns(UserWarning, match="ffn_block"):
+        out, h = ffn_block(*args)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want[0]),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(h), np.asarray(want[1]),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_ffn_block_dispatcher_kill_switch(monkeypatch):
+    from ldm_image_generator_tpu.kernels.ffn_block import (
+        ffn_block, ffn_block_xla,
+    )
+
+    args = _ffn_args()
+    want = ffn_block_xla(*args[:-1], 0, 2)
+    monkeypatch.setenv("LDM_TPU_NO_PALLAS", "1")
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    out, h = ffn_block(*args)  # no probe: kill-switch short-circuits
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want[0]),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_block_core_dispatcher_survives_forced_compile_failure(monkeypatch):
+    from ldm_image_generator_tpu.kernels.block_core import (
+        block_core, block_core_xla,
+    )
+
+    ks = jax.random.split(jax.random.PRNGKey(1), 20)
+    r = lambda k, shape: jax.random.normal(k, shape) * 0.05
+    b, hh, ww, c = 1, 8, 8, 128
+    m, e = c, 4
+    args = (
+        jax.random.normal(ks[0], (b, hh, ww, c)),
+        jnp.ones((1, hh, ww, c)), jnp.zeros((1, hh, ww, c)),
+        r(ks[1], (c, m)), r(ks[2], (m,)), r(ks[3], (c, m)), r(ks[4], (m,)),
+        r(ks[5], (m, c)), r(ks[6], (c,)),
+        r(ks[7], (e, c, m)), r(ks[8], (e, m)), r(ks[9], (e, c, m)),
+        r(ks[10], (e, m)), r(ks[11], (e, m, c)), r(ks[12], (e, c)),
+        r(ks[13], (3, 3, 32, c)), r(ks[14], (c,)),
+    )
+    want = block_core_xla(*args, 1, 2)
+
+    monkeypatch.setenv("LDM_TPU_PALLAS_PROBE", "1")
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    with pytest.warns(UserWarning, match="block_core"):
+        out, h = block_core(*args, jnp.asarray([1, 2], jnp.int32))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want[0]),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_vq_dispatcher_survives_forced_compile_failure(monkeypatch):
+    from ldm_image_generator_tpu.kernels.vq import (
+        nearest_codebook_indices, nearest_codebook_indices_xla,
+    )
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (64, 8))
+    cb = jax.random.normal(jax.random.PRNGKey(1), (256, 8))
+    want = nearest_codebook_indices_xla(x, cb)
+    monkeypatch.setenv("LDM_TPU_PALLAS_PROBE", "1")
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    with pytest.warns(UserWarning, match="vq"):
+        got = nearest_codebook_indices(x, cb)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_attention_dispatcher_survives_forced_compile_failure(monkeypatch):
+    from ldm_image_generator_tpu.models.layers import MultiHeadAttention
+
+    mha = MultiHeadAttention(128, 4, backend="auto")
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 16, 128))
+    params = mha.init(jax.random.PRNGKey(1), x, x)
+    want = mha.apply(params, x, x)  # CPU backend: XLA path
+
+    monkeypatch.setenv("LDM_TPU_PALLAS_PROBE", "1")
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    with pytest.warns(UserWarning, match="window_attention"):
+        got = mha.apply(params, x, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
