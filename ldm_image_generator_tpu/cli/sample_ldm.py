@@ -35,6 +35,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="int8: per-channel quantized FFN weights on the "
                         "fused TPU kernels (~2x less weight streaming per "
                         "denoise step, ~0.3%% output error)")
+    p.add_argument("--num-classes", default=0, type=int,
+                   help="class count the model was trained with "
+                        "(--num-classes on train_ldm); required for "
+                        "--class-id")
+    p.add_argument("--class-id", default=None, type=int,
+                   help="generate this class (class-conditional models)")
+    p.add_argument("--guidance-scale", default=1.0, type=float,
+                   help="classifier-free guidance strength (1 = off)")
     from ldm_image_generator_tpu.cli.common import add_diffusion_args
 
     add_diffusion_args(p)
@@ -60,6 +68,10 @@ def main(argv=None):
     if args.config == "tiny":
         ucfg, vcfg = ucfg.tiny(), vcfg.tiny()
     ucfg = dataclasses.replace(ucfg, ffn_quant=args.quant)
+    if args.class_id is not None and args.num_classes <= 0:
+        raise SystemExit("--class-id requires --num-classes > 0")
+    if args.num_classes > 0:
+        ucfg = dataclasses.replace(ucfg, num_classes=args.num_classes)
     dtype = jnp.bfloat16 if args.fp16 else jnp.float32
     dcfg = DDPMConfig(prediction=args.prediction,
                       zero_terminal_snr=args.zero_snr)
@@ -77,10 +89,14 @@ def main(argv=None):
     dec_params = maybe_load(args.decpath, dec_params,
                             lambda sd: ti.convert_decoder(sd, vcfg)) or dec_params
 
+    condition = None
+    if args.class_id is not None:
+        condition = jnp.full((args.numimages,), args.class_id, jnp.int32)
     imgs = pipe.sample(
         unet_params, dec_params, key,
         batch=args.numimages, image_size=args.size, num_steps=args.timesteps,
         eta=args.eta, sampler=args.sampler,
+        condition=condition, guidance_scale=args.guidance_scale,
     )
     imgs = jax.device_get(imgs)
     os.makedirs(args.outdir, exist_ok=True)

@@ -31,6 +31,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ckpt-dir", default=None)
     p.add_argument("--config", default="default", choices=["default", "tiny"],
                    help="model size preset (tiny = test/debug scale)")
+    p.add_argument("--num-classes", default=0, type=int,
+                   help="class-conditional training: each positional "
+                        "dataset dir is one class (-1 = one class per "
+                        "dir); 0 = unconditional (reference behavior)")
+    p.add_argument("--cond-drop", default=0.1, type=float,
+                   help="probability of training on the null class "
+                        "(the CFG unconditional branch)")
     from ldm_image_generator_tpu.cli.common import add_diffusion_args
 
     add_diffusion_args(p, train=True)
@@ -69,10 +76,24 @@ def main(argv=None):
     )
     from ldm_image_generator_tpu.utils.metrics import MetricLogger
 
+    import dataclasses
+
     vcfg = VAEConfig()
     ucfg = UNetConfig()
     if args.config == "tiny":
         vcfg, ucfg = vcfg.tiny(), ucfg.tiny()
+    num_classes = args.num_classes
+    if num_classes == -1:
+        num_classes = len(args.dataset_path)
+    if num_classes > 0:
+        if len(args.dataset_path) > num_classes:
+            raise SystemExit(
+                f"--num-classes {num_classes} < {len(args.dataset_path)} "
+                "dataset dirs (labels are per source dir)"
+            )
+        ucfg = dataclasses.replace(ucfg, num_classes=num_classes)
+        print(f"class-conditional: {num_classes} classes "
+              f"(dir-per-class), cond-drop {args.cond_drop}")
     dtype = jnp.bfloat16 if args.fp16 else jnp.float32
 
     key = jax.random.PRNGKey(0)
@@ -131,6 +152,7 @@ def main(argv=None):
         make_ldm_train_step(
             unet, schedule, tx, prediction=args.prediction,
             ema_decay=args.ema if args.ema > 0 else None,
+            num_classes=num_classes, cond_drop=args.cond_drop,
         ),
         donate_argnums=(0,),
     )
@@ -142,7 +164,8 @@ def main(argv=None):
         sharding = batch_sharding(mesh, 4)
         print(f"data-parallel over {n_dev} devices")
 
-    loader = BatchLoader(ds, args.batch, sharding=sharding)
+    loader = BatchLoader(ds, args.batch, sharding=sharding,
+                         with_labels=num_classes > 0)
     logger = MetricLogger(log_every=10)
 
     validator = None
@@ -168,9 +191,11 @@ def main(argv=None):
         gstep = int(state.step)
         for epoch in range(args.epoch):
             print(f"Epoch #{epoch}")
-            for batch_idx, latents in enumerate(loader):
+            for batch_idx, item in enumerate(loader):
+                latents, labels = item if num_classes > 0 else (item, None)
                 state, metrics = step_fn(
-                    state, jnp.asarray(latents), jax.random.fold_in(key, gstep)
+                    state, jnp.asarray(latents),
+                    jax.random.fold_in(key, gstep), labels
                 )
                 gstep += 1
                 logger.log(gstep, metrics, batch_size=args.batch)

@@ -52,6 +52,16 @@ class UNetConfig:
     # chip (measured b1 denoise 1.9 -> 2.2 ms: the in-kernel VPU dequant
     # outweighs the DMA savings); keep 'none' for latency.
     ffn_quant: str = "none"
+    # Class-conditional generation (a working product surface for the
+    # conditioning path the reference stubs out — ddpm.py:78 hardcodes
+    # condition=None and its CrossAttention returns None). num_classes>0
+    # adds a learned class-embedding table of cond_tokens tokens x
+    # cond_channels dims (plus one extra "null" row used as the CFG
+    # unconditional embedding), consumed by the decoder stages'
+    # cross-attention. 0 = unconditional (reference-equivalent params).
+    num_classes: int = 0
+    cond_channels: int = 256
+    cond_tokens: int = 4
 
     def tiny(self) -> "UNetConfig":
         return dataclasses.replace(

@@ -38,12 +38,17 @@ import numpy as np
 _PIPELINE_VERSION = "1"
 
 
-def _find_images(source_dirs: Sequence[str]) -> List[str]:
+def _find_images(source_dirs: Sequence[str]):
+    """Returns (paths, labels): labels[i] is the index of the source dir
+    paths[i] came from — the class id for dir-per-class conditioning."""
     paths: List[str] = []
-    for d in source_dirs:
-        paths += glob.glob(os.path.join(d, "**/*.jpg"), recursive=True)
-        paths += glob.glob(os.path.join(d, "*.png"))
-    return paths
+    labels: List[int] = []
+    for di, d in enumerate(source_dirs):
+        found = glob.glob(os.path.join(d, "**/*.jpg"), recursive=True)
+        found += glob.glob(os.path.join(d, "*.png"))
+        paths += found
+        labels += [di] * len(found)
+    return paths, labels
 
 
 def preprocess_image(path: str, size: int,
@@ -96,9 +101,10 @@ class ImageDataset:
         self.cache_dir = cache_dir
         self.size = size
         self.n_workers = n_workers
-        self.paths = _find_images(source_dirs)
+        self.paths, self.labels = _find_images(source_dirs)
         if max_len and max_len > 0:
             self.paths = self.paths[:max_len]
+            self.labels = self.labels[:max_len]
         os.makedirs(cache_dir, exist_ok=True)
         self._cache_paths = [self._cache_path(p) for p in self.paths]
         self._build_cache()

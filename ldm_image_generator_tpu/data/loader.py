@@ -30,6 +30,7 @@ class BatchLoader:
         prefetch: int = 2,
         shard_index: "int | None" = None,
         shard_count: "int | None" = None,
+        with_labels: bool = False,
     ):
         """batch_size is the GLOBAL batch. On a multi-host job each
         process constructs the loader with the same seed; the per-epoch
@@ -37,7 +38,11 @@ class BatchLoader:
         loads only its own stripe of each global batch
         (batch_size // shard_count items). shard_index/shard_count
         default to jax.process_index()/process_count(), so single-host
-        behavior is unchanged and multi-host sharding needs no flags."""
+        behavior is unchanged and multi-host sharding needs no flags.
+
+        with_labels=True yields (images, labels int32 [per_host]) pairs
+        from the dataset's per-source-dir labels (class conditioning);
+        labels ride along unsharded (tiny, placed by jit)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -57,6 +62,7 @@ class BatchLoader:
         assert batch_size % shard_count == 0, (batch_size, shard_count)
         self.shard_index = shard_index
         self.shard_count = shard_count
+        self.with_labels = with_labels
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -104,6 +110,12 @@ class BatchLoader:
                         )
                     else:
                         batch = jax.device_put(batch, self.sharding)
+                if self.with_labels:
+                    labels = np.asarray(
+                        [self.dataset.labels[int(i)] for i in sl],
+                        dtype=np.int32,
+                    )
+                    batch = (batch, labels)
                 q.put(batch)
             q.put(None)
 

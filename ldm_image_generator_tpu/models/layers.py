@@ -73,13 +73,17 @@ class MultiHeadAttention(nn.Module):
     def __call__(self, q_in, kv_in, key_padding_mask=None):
         c, h = self.channels, self.num_heads
         d = c // h
+        # kv projections are sized by the key/value source so
+        # cross-attention can consume condition tokens of any width
+        # (one cond tensor feeds stages of different channel counts)
+        ckv = kv_in.shape[-1]
         init = nn.initializers.lecun_normal()
         zeros = nn.initializers.zeros
         wq = self.param("wq", init, (c, c))
         bq = self.param("bq", zeros, (c,))
-        wk = self.param("wk", init, (c, c))
+        wk = self.param("wk", init, (ckv, c))
         bk = self.param("bk", zeros, (c,))
-        wv = self.param("wv", init, (c, c))
+        wv = self.param("wv", init, (ckv, c))
         bv = self.param("bv", zeros, (c,))
         wo = self.param("wo", init, (c, c))
         bo = self.param("bo", zeros, (c,))
@@ -531,6 +535,10 @@ class SwinBlock(nn.Module):
     experts_per_call: int = 2
     ffn_mul: int = 1
     ffn_quant: str = "none"  # 'int8' = quantized FFN weights (see RandomMoE)
+    # width of cross-attention condition tokens (class-embedding path);
+    # 0 = unconditioned model, dummy cross-attn params stay square (c, c)
+    # so round-2 checkpoints load unchanged
+    cond_channels: int = 0
     fixed_expert_indices: Optional[Sequence[int]] = None
     # debug/profiling: branch names ('norm','film','moe','conv','attn') to
     # skip at apply time; params are still created so checkpoints and
@@ -683,9 +691,10 @@ class SwinBlock(nn.Module):
                 # checkpoints are complete (the reference instantiates the
                 # module regardless, unet.py:33-35). The dummy call's output
                 # is unused -> XLA dead-code-eliminates the compute.
+                ckv = self.cond_channels or c
                 _ = cross(
                     branch[:, :1, :1, :],
-                    jnp.zeros((branch.shape[0], 1, c), dtype=branch.dtype),
+                    jnp.zeros((branch.shape[0], 1, ckv), dtype=branch.dtype),
                 )
 
         if not deterministic and self.stochastic_depth > 0.0:
@@ -712,6 +721,7 @@ class SwinStack(nn.Module):
     experts_per_call: int = 2
     ffn_mul: int = 1
     ffn_quant: str = "none"
+    cond_channels: int = 0
     fixed_expert_indices: Optional[Sequence[int]] = None
     ablate_branches: Optional[Sequence[str]] = None
     attention_backend: str = "auto"
@@ -736,6 +746,7 @@ class SwinStack(nn.Module):
                 experts_per_call=self.experts_per_call,
                 ffn_mul=self.ffn_mul,
                 ffn_quant=self.ffn_quant,
+                cond_channels=self.cond_channels,
                 fixed_expert_indices=self.fixed_expert_indices,
                 ablate_branches=self.ablate_branches,
                 attention_backend=self.attention_backend,

@@ -69,6 +69,28 @@ class UNet(nn.Module):
         stem = cfg.stem_size
         x = x.astype(self.dtype)
 
+        # Class conditioning (product surface for the path the reference
+        # stubs out, ddpm.py:78): integer class ids [B] are embedded via
+        # a learned table into cond_tokens tokens of cond_channels dims;
+        # row num_classes is the learned "null" embedding (the CFG
+        # unconditional branch). Pre-built token tensors [B, T, D] pass
+        # through unchanged.
+        if cfg.num_classes > 0:
+            embed = nn.Embed(
+                cfg.num_classes + 1,
+                cfg.cond_channels * cfg.cond_tokens,
+                dtype=self.dtype,
+                name="class_embed",
+            )
+            if condition is not None and jnp.issubdtype(
+                condition.dtype, jnp.integer
+            ):
+                condition = embed(condition.astype(jnp.int32)).reshape(
+                    condition.shape[0], cfg.cond_tokens, cfg.cond_channels
+                )
+            else:
+                _ = embed(jnp.zeros((1,), jnp.int32))  # param creation
+
         x = nn.Conv(
             chs[0], (stem, stem), strides=(stem, stem), padding="VALID",
             dtype=self.dtype, name="encoder_first",
@@ -92,6 +114,7 @@ class UNet(nn.Module):
             experts_per_call=cfg.experts_per_call,
             ffn_mul=cfg.ffn_mul,
             ffn_quant=cfg.ffn_quant,
+            cond_channels=cfg.cond_channels if cfg.num_classes else 0,
             fixed_expert_indices=cfg.fixed_expert_indices,
             ablate_branches=cfg.ablate_branches,
             attention_backend=cfg.attention_backend,

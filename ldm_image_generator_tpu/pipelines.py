@@ -74,7 +74,7 @@ def make_cached_denoise(unet, unet_params, num_timesteps: int,
         unet_params, probe, ts_arr, deterministic=True, collect_film=True
     )
 
-    def denoise(x, t_vec, k):
+    def denoise(x, t_vec, k, condition=None):
         matches = ts_arr == t_vec[0]
         i = jnp.argmax(matches)
         hit = jnp.any(matches)
@@ -83,8 +83,8 @@ def make_cached_denoise(unet, unet_params, num_timesteps: int,
             film_cache,
         )
         return unet.apply(
-            unet_params, x, t_vec, deterministic=True, film=film_i,
-            rngs={"moe": k},
+            unet_params, x, t_vec, condition, deterministic=True,
+            film=film_i, rngs={"moe": k},
         ).astype(jnp.float32)
 
     return denoise
@@ -115,7 +115,8 @@ class LDMPipeline:
         self.unet_cfg = unet_cfg
         self.vae_cfg = vae_cfg
 
-    @functools.partial(jax.jit, static_argnums=(0, 4, 5, 6, 7, 8, 9, 11))
+    @functools.partial(jax.jit,
+                       static_argnums=(0, 4, 5, 6, 7, 8, 9, 11, 13))
     def sample(
         self,
         unet_params,
@@ -129,6 +130,8 @@ class LDMPipeline:
         film_cache: bool = True,
         init_noise: Optional[jnp.ndarray] = None,
         steps: Optional[Tuple[int, ...]] = None,
+        condition: Optional[jnp.ndarray] = None,
+        guidance_scale: float = 1.0,
     ) -> jnp.ndarray:
         """Returns uint8 images [batch, image_size, image_size, 3].
 
@@ -142,23 +145,50 @@ class LDMPipeline:
         how requests are batched together.
         steps: explicit timestep schedule (tuple, static) overriding the
         linspace derived from num_steps (ddpm.py:66-72's explicit-list
-        mode); the FiLM cache is built from the same schedule."""
+        mode); the FiLM cache is built from the same schedule.
+        condition: int class ids [batch] (requires unet_cfg.num_classes)
+        or prebuilt condition tokens [batch, T, D]; guidance_scale != 1
+        applies classifier-free guidance against the learned null class
+        (the capability the reference stubs out, ddpm.py:78)."""
         latent = image_size // self.vae_cfg.downscale
         shape = (batch, latent, latent, self.unet_cfg.input_channels)
         unet_params = cast_floating(unet_params, self.unet.dtype)
         decoder_params = cast_floating(decoder_params, self.decoder.dtype)
 
         if film_cache:
-            denoise = make_cached_denoise(
+            base = make_cached_denoise(
                 self.unet, unet_params, self.schedule.num_timesteps,
                 num_steps, (1, latent, latent, self.unet_cfg.input_channels),
                 steps=steps,
             )
         else:
-            def denoise(x, t_vec, k):
+            def base(x, t_vec, k, condition=None):
                 return self.unet.apply(
-                    unet_params, x, t_vec, deterministic=True, rngs={"moe": k}
+                    unet_params, x, t_vec, condition, deterministic=True,
+                    rngs={"moe": k},
                 ).astype(jnp.float32)
+
+        use_cfg = (
+            condition is not None
+            and guidance_scale != 1.0
+            and self.unet_cfg.num_classes > 0
+            and jnp.issubdtype(condition.dtype, jnp.integer)
+        )
+        if condition is None:
+            denoise = base
+        elif use_cfg:
+            null = jnp.full_like(condition, self.unet_cfg.num_classes)
+
+            def denoise(x, t_vec, k):
+                # same key both branches: identical MoE routing isolates
+                # the conditioning signal in the guidance delta
+                pred_c = base(x, t_vec, k, condition)
+                pred_u = base(x, t_vec, k, null)
+                return pred_u + guidance_scale * (pred_c - pred_u)
+
+        else:
+            def denoise(x, t_vec, k):
+                return base(x, t_vec, k, condition)
 
         if sampler == "dpm++2m":
             z = dpm_solver_sample(

@@ -157,8 +157,10 @@ def make_ldm_train_step(
     stochastic_depth: bool = True,
     prediction: str = "eps",
     ema_decay: "float | None" = None,
+    num_classes: int = 0,
+    cond_drop: float = 0.1,
 ) -> Callable:
-    """Returns step(state, latents, key) -> (state, metrics).
+    """Returns step(state, latents, key, labels=None) -> (state, metrics).
 
     Works for both latent diffusion (train_ldm.py) and pixel-space DDPM
     (train_ddpm.py) — the input is whatever space the UNet denoises.
@@ -168,9 +170,23 @@ def make_ldm_train_step(
     steps aren't dominated by the random init. Free on TPU: the EMA
     update fuses into the same jitted step (pure VPU elementwise, no
     extra HBM round-trips beyond the EMA tree itself).
+
+    num_classes > 0 + labels: class-conditional training — each label is
+    replaced by the null class (index num_classes) with probability
+    cond_drop, so the model learns the unconditional branch that
+    classifier-free guidance samples against (Ho & Salimans 2022,
+    arXiv:2207.12598). The RNG stream for the unconditional case is
+    untouched (the drop key is derived only when labels are given).
     """
 
-    def step(state: LDMTrainState, x: jnp.ndarray, key: jax.Array):
+    def step(state: LDMTrainState, x: jnp.ndarray, key: jax.Array,
+             labels=None):
+        cond = None
+        if labels is not None and num_classes > 0:
+            k_drop = jax.random.fold_in(key, 0x5EED)
+            drop = jax.random.uniform(k_drop, labels.shape) < cond_drop
+            cond = jnp.where(drop, num_classes, labels).astype(jnp.int32)
+
         def loss_fn(params):
             def denoise(x_t, t, k):
                 k_moe, k_sd = jax.random.split(k)
@@ -178,6 +194,7 @@ def make_ldm_train_step(
                     params,
                     x_t,
                     t,
+                    cond,
                     deterministic=not stochastic_depth,
                     rngs={"moe": k_moe, "sd": k_sd},
                 ).astype(jnp.float32)

@@ -62,6 +62,55 @@ def test_full_ldm_workflow(dataset_dir, tmp_path, monkeypatch):
     assert files == ["0.jpg", "1.jpg"]
 
 
+def test_conditional_ldm_workflow(dataset_dir, tmp_path, monkeypatch):
+    """Class-conditional training (dir-per-class) + guided sampling:
+    CLI e2e for the conditioning surface the reference stubs out
+    (ddpm.py:78 hardcodes condition=None). Guided samples must be
+    deterministic per seed and the CFG scale must change outputs."""
+    from PIL import Image
+
+    monkeypatch.chdir(tmp_path)
+    from ldm_image_generator_tpu.cli import sample_ldm, train_ldm
+
+    # second class dir so there are >= 2 labels
+    rng = np.random.RandomState(7)
+    d2 = tmp_path / "class_b"
+    d2.mkdir()
+    for i in range(4):
+        arr = (rng.rand(20, 20, 3) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(d2 / f"{i}.jpg")
+
+    train_ldm.main(
+        [dataset_dir, str(d2), "-d", "cpu", "--config", "tiny",
+         "-s", "16", "-b", "2", "-e", "1",
+         "--num-classes", "-1", "--cond-drop", "0.25",
+         "-mp", str(tmp_path / "cond.ckpt")]
+    )
+    assert os.path.exists(tmp_path / "cond.ckpt")
+
+    common = ["-d", "cpu", "--config", "tiny", "-s", "16", "-t", "3",
+              "-n", "2", "--num-classes", "2",
+              "-dp", str(tmp_path / "cond.ckpt")]
+    sample_ldm.main(common + ["--class-id", "0", "--guidance-scale", "2.0",
+                              "-o", str(tmp_path / "g0")])
+    sample_ldm.main(common + ["--class-id", "0", "--guidance-scale", "2.0",
+                              "-o", str(tmp_path / "g0_again")])
+    sample_ldm.main(common + ["--class-id", "0", "--guidance-scale", "5.0",
+                              "-o", str(tmp_path / "g0_strong")])
+    sample_ldm.main(common + ["--class-id", "1", "--guidance-scale", "2.0",
+                              "-o", str(tmp_path / "g1")])
+
+    img = lambda d: np.asarray(
+        __import__("PIL.Image", fromlist=["Image"]).open(
+            tmp_path / d / "0.jpg"
+        )
+    )
+    a, a2, strong, b = img("g0"), img("g0_again"), img("g0_strong"), img("g1")
+    np.testing.assert_array_equal(a, a2)  # deterministic per seed
+    assert np.any(a != strong)  # CFG scale changes outputs
+    assert np.any(a != b)       # class id changes outputs
+
+
 def test_ddpm_pixel_workflow(dataset_dir, tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     from ldm_image_generator_tpu.cli import sample_ddpm, train_ddpm

@@ -1,0 +1,184 @@
+"""Class-conditional generation surface (round-3 addition).
+
+The reference stubs conditioning out end to end: DDPM.sample hardcodes
+condition=None (ddpm.py:78), UNet drops the argument (unet.py:93,101)
+and CrossAttention returns None (attention.py:92-99). Here the path is
+a product surface: a learned class-embedding table (UNetConfig.
+num_classes) feeds the decoder stages' cross-attention, train steps
+apply CFG cond-drop, and LDMPipeline.sample takes class ids +
+guidance_scale through the jitted chain.
+"""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ldm_image_generator_tpu.config import DDPMConfig, UNetConfig, VAEConfig
+from ldm_image_generator_tpu.diffusion import make_schedule
+from ldm_image_generator_tpu.models import UNet
+
+
+def cond_cfg(**kw):
+    return UNetConfig(
+        input_channels=4,
+        channels=(8, 16),
+        stages=(1, 2),
+        head_dim=4,
+        window_size=6,
+        num_classes=3,
+        cond_channels=12,
+        cond_tokens=2,
+        **kw,
+    )
+
+
+def _init(unet, x, t, cond=None):
+    key = jax.random.PRNGKey(0)
+    return unet.init({"params": key, "moe": key}, x, t, cond)
+
+
+def test_class_embed_params_created_even_unconditioned():
+    cfg = cond_cfg()
+    unet = UNet(cfg)
+    x = jnp.zeros((1, 16, 16, 4))
+    t = jnp.zeros((1,), jnp.int32)
+    params = _init(unet, x, t)
+    emb = params["params"]["class_embed"]["embedding"]
+    # num_classes + 1: the extra row is the learned null (CFG uncond)
+    assert emb.shape == (4, cfg.cond_channels * cfg.cond_tokens)
+    # cross-attention kv projections sized by cond width, not stage width
+    wk = params["params"]["dec_stage_1"]["block_1"]["cross_attention"][
+        "mha"]["wk"]
+    assert wk.shape == (cfg.cond_channels, 16)
+
+
+def test_condition_changes_output_per_class():
+    cfg = cond_cfg()
+    unet = UNet(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 4))
+    t = jnp.full((1,), 500, jnp.int32)
+    params = _init(unet, x, t)
+    moe = {"moe": jax.random.PRNGKey(7)}
+    y0 = unet.apply(params, x, t, jnp.asarray([0, 0]), rngs=moe)
+    y1 = unet.apply(params, x, t, jnp.asarray([1, 1]), rngs=moe)
+    ynull = unet.apply(params, x, t, jnp.asarray([3, 3]), rngs=moe)
+    yun = unet.apply(params, x, t, None, rngs=moe)
+    assert float(jnp.max(jnp.abs(y0 - y1))) > 1e-6
+    assert float(jnp.max(jnp.abs(y0 - ynull))) > 1e-6
+    # all finite
+    for y in (y0, y1, ynull, yun):
+        assert bool(jnp.isfinite(y).all())
+
+
+def test_unconditional_default_params_unchanged():
+    """num_classes=0 keeps the round-2 param tree (square cross-attn kv,
+    no class_embed) so existing checkpoints keep loading."""
+    cfg = dataclasses.replace(cond_cfg(), num_classes=0)
+    unet = UNet(cfg)
+    x = jnp.zeros((1, 16, 16, 4))
+    t = jnp.zeros((1,), jnp.int32)
+    params = _init(unet, x, t)
+    assert "class_embed" not in params["params"]
+    wk = params["params"]["dec_stage_1"]["block_1"]["cross_attention"][
+        "mha"]["wk"]
+    assert wk.shape == (16, 16)
+
+
+def test_film_cache_with_condition_matches_inline():
+    from ldm_image_generator_tpu.pipelines import make_cached_denoise
+
+    cfg = cond_cfg()
+    unet = UNet(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 4))
+    params = _init(unet, x, jnp.zeros((1,), jnp.int32))
+    denoise = make_cached_denoise(unet, params, 1000, 4, (1, 16, 16, 4))
+    ts = jnp.asarray(np.linspace(0, 999, 4).astype(np.int32))
+    labels = jnp.asarray([2, 0])
+    k = jax.random.PRNGKey(3)
+    got = denoise(x, ts[1:2], k, labels)
+    want = unet.apply(params, x, ts[1:2], labels, deterministic=True,
+                      rngs={"moe": k}).astype(jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0, atol=1e-6)
+
+
+def test_pipeline_guidance_scale_changes_output():
+    from ldm_image_generator_tpu.pipelines import LDMPipeline
+
+    ucfg = cond_cfg()
+    vcfg = VAEConfig().tiny()
+    pipe = LDMPipeline(ucfg, vcfg, DDPMConfig(), dtype=jnp.float32)
+    key = jax.random.PRNGKey(0)
+    z = jnp.zeros((1, 8, 8, ucfg.input_channels), jnp.float32)
+    t = jnp.zeros((1,), jnp.int32)
+    up = pipe.unet.init({"params": key, "moe": key}, z, t)
+    dp = pipe.decoder.init(jax.random.PRNGKey(1), z)
+
+    cond = jnp.asarray([1, 2], jnp.int32)
+    kw = dict(batch=2, image_size=16, num_steps=4)
+    uncond = pipe.sample(up, dp, jax.random.PRNGKey(2), **kw)
+    guided = pipe.sample(up, dp, jax.random.PRNGKey(2), condition=cond,
+                         guidance_scale=3.0, **kw)
+    guided2 = pipe.sample(up, dp, jax.random.PRNGKey(2), condition=cond,
+                          guidance_scale=3.0, **kw)
+    plain_c = pipe.sample(up, dp, jax.random.PRNGKey(2), condition=cond,
+                          guidance_scale=1.0, **kw)
+    # deterministic per seed
+    np.testing.assert_array_equal(np.asarray(guided), np.asarray(guided2))
+    # conditioning and guidance both actually change the samples
+    assert np.any(np.asarray(guided) != np.asarray(uncond))
+    assert np.any(np.asarray(guided) != np.asarray(plain_c))
+
+
+def test_conditional_train_step_runs_and_learns():
+    from ldm_image_generator_tpu.train import (
+        LDMTrainState,
+        make_ldm_train_step,
+        make_optimizer,
+    )
+
+    cfg = cond_cfg()
+    unet = UNet(cfg)
+    schedule = make_schedule(DDPMConfig(num_timesteps=100))
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (4, 16, 16, 4))
+    labels = jnp.asarray([0, 1, 2, 1], jnp.int32)
+    params = unet.init({"params": key, "moe": key, "sd": key}, x,
+                       jnp.zeros((4,), jnp.int32), labels)
+    tx = make_optimizer("adamw", 1e-3)
+    state = LDMTrainState(params=params, opt_state=tx.init(params),
+                          step=jnp.zeros((), jnp.int32))
+    step = jax.jit(make_ldm_train_step(
+        unet, schedule, tx, num_classes=cfg.num_classes, cond_drop=0.25))
+    losses = []
+    for i in range(15):
+        state, metrics = step(state, x, jax.random.PRNGKey(100 + i), labels)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-3:]) < np.mean(losses[:3]), losses
+
+
+def test_loader_yields_labels_per_source_dir(tmp_path):
+    from PIL import Image
+
+    from ldm_image_generator_tpu.data import BatchLoader, ImageDataset
+
+    rng = np.random.default_rng(0)
+    for d, n in (("a", 3), ("b", 5)):
+        (tmp_path / d).mkdir()
+        for i in range(n):
+            Image.fromarray(
+                rng.integers(0, 255, (8, 8, 3), dtype=np.uint8)
+            ).save(tmp_path / d / f"{i}.png")
+    ds = ImageDataset([str(tmp_path / "a"), str(tmp_path / "b")],
+                      cache_dir=str(tmp_path / "cache"), size=8)
+    assert sorted(ds.labels) == [0] * 3 + [1] * 5
+    loader = BatchLoader(ds, 4, shuffle=False, with_labels=True, prefetch=1)
+    batches = list(loader)
+    assert len(batches) == 2
+    imgs, labels = batches[0]
+    assert imgs.shape == (4, 8, 8, 3)
+    assert labels.dtype == np.int32 and labels.shape == (4,)
+    all_labels = np.concatenate([b[1] for b in batches])
+    np.testing.assert_array_equal(all_labels, ds.labels[:8])
