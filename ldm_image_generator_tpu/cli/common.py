@@ -29,9 +29,63 @@ def add_device_arg(parser, default: str = "tpu") -> None:
         "'cpu' forces the CPU backend; cuda/mps are reference flags kept "
         "for CLI parity and rejected here.",
     )
+    # multi-process (multi-host) launch plumbing: the same trainer binary
+    # starts on every host with its rank; jax.distributed.initialize runs
+    # before any backend use, jax.devices() then spans all hosts, the
+    # mesh covers the global device set, and the data loader's per-host
+    # striping (data/loader.py) engages automatically via
+    # jax.process_index(). Env fallbacks (LDM_COORDINATOR /
+    # LDM_PROCESS_ID / LDM_NUM_PROCESSES) serve launchers that can't
+    # template flags.
+    parser.add_argument(
+        "--coordinator", default=None, metavar="HOST:PORT",
+        help="multi-process training: coordinator address "
+        "(process 0's host); enables jax.distributed.initialize",
+    )
+    parser.add_argument(
+        "--process-id", default=None, type=int, metavar="N",
+        help="this process's rank in [0, --num-processes)",
+    )
+    parser.add_argument(
+        "--num-processes", dest="num_processes_dist", default=None,
+        type=int, metavar="N",
+        help="total number of processes in the job",
+    )
 
 
-def setup_device(name: str) -> None:
+def maybe_init_distributed(args=None) -> bool:
+    """Call jax.distributed.initialize from CLI flags / env, BEFORE any
+    backend initialization. Returns True when running multi-process."""
+    get = lambda attr, env, cast: (
+        getattr(args, attr, None)
+        if args is not None and getattr(args, attr, None) is not None
+        else (cast(os.environ[env]) if env in os.environ else None)
+    )
+    coordinator = get("coordinator", "LDM_COORDINATOR", str)
+    process_id = get("process_id", "LDM_PROCESS_ID", int)
+    num_processes = get("num_processes_dist", "LDM_NUM_PROCESSES", int)
+    if not coordinator and num_processes is None:
+        return False
+    if not coordinator or process_id is None or not num_processes:
+        raise SystemExit(
+            "multi-process launch needs all three of --coordinator, "
+            "--process-id and --num-processes (or the LDM_* env vars)"
+        )
+    if num_processes == 1:
+        return False
+    import jax
+
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    print(f"distributed: process {process_id}/{num_processes} "
+          f"via {coordinator}", flush=True)
+    return True
+
+
+def setup_device(name: str, args=None) -> None:
     print(f"selected device: {name}")
     if name in ("cuda", "mps"):
         print(f"Error: {name} is not available in this environment "
@@ -41,6 +95,7 @@ def setup_device(name: str) -> None:
 
     if name == "cpu":
         jax.config.update("jax_platforms", "cpu")
+        maybe_init_distributed(args)
         # No persistent compilation cache on CPU: XLA's CPU AOT loader
         # proved unreliable here — loading cached CPU artifacts (even
         # same-host, written minutes earlier by the same process tree)
@@ -77,6 +132,7 @@ def setup_device(name: str) -> None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass  # cache is best-effort
+    maybe_init_distributed(args)
 
 
 def add_diffusion_args(parser, train: bool = False) -> None:

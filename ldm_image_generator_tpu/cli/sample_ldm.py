@@ -53,7 +53,7 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     from ldm_image_generator_tpu.cli.common import maybe_load, save_image, setup_device
 
-    setup_device(args.device)
+    setup_device(args.device, args)
 
     import jax
     import jax.numpy as jnp

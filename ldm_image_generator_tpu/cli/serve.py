@@ -169,7 +169,7 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     from ldm_image_generator_tpu.cli.common import setup_device
 
-    setup_device(args.device)
+    setup_device(args.device, args)
     import numpy as np
     from PIL import Image
 

@@ -51,7 +51,7 @@ def main(argv=None):
         setup_device,
     )
 
-    setup_device(args.device)
+    setup_device(args.device, args)
 
     import jax
     import jax.numpy as jnp
