@@ -58,9 +58,22 @@ def window_mha_xla(x, mask, wq, bq, wk, bk, wv, bv, wo, bo, num_heads: int):
     return out @ wo + bo
 
 
-def _make_kernel(num_heads: int, tn: int, l: int, c: int, out_dtype):
+def _fold_groups(num_heads: int, fold: int):
+    """Partition heads into contiguous groups of at most `fold`."""
+    groups = []
+    h0 = 0
+    while h0 < num_heads:
+        f = min(fold, num_heads - h0)
+        groups.append((h0, f))
+        h0 += f
+    return groups
+
+
+def _make_kernel(num_heads: int, tn: int, l: int, c: int, out_dtype,
+                 fold: int = 1):
     d = c // num_heads
     scale = 1.0 / float(d) ** 0.5
+    groups = _fold_groups(num_heads, fold)
 
     def kernel(x_ref, bias_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref,
                bv_ref, wo_ref, bo_ref, out_ref):
@@ -76,29 +89,79 @@ def _make_kernel(num_heads: int, tn: int, l: int, c: int, out_dtype):
         q = dot(x, wq_ref, bq_ref).reshape(tn, l, c)
         k = dot(x, wk_ref, bk_ref).reshape(tn, l, c)
         v = dot(x, wv_ref, bv_ref).reshape(tn, l, c)
-        bias = bias_ref[:][:, None, :]  # [TN, 1, L]
+        bias = bias_ref[:]  # [TN, L]
 
-        # Mosaic's tpu.matmul supports a single batch dim, so loop heads
-        # statically; each head's [TN, L, L] fp32 scores live in VMEM only.
+        # Mosaic's tpu.matmul supports a single batch dim. fold == 1:
+        # static per-head loop of [TN, L, L] matmuls (the round-2
+        # kernel). fold == f > 1: f heads share ONE block-diagonal
+        # joint matmul [TN, f*L, f*d] — at L=36, d=32 the per-head
+        # matmul uses a sliver of the 128x128 MXU tile, so folding
+        # heads until f*L/f*d approach 128 multiplies utilization.
+        # The folded operands are built WITHOUT transposes (tile along
+        # the token axis + constant 0/1 block mask): the natural
+        # [TN, L, H, d] -> [TN, H, L, d] batching transpose and 4-D
+        # in-kernel ops are what crash this environment's Mosaic
+        # compiler (see benchmarks/mosaic_repro.py).
+        #   q~[(h,l), (h,d)] block-diagonal => q~ @ k~^T is zero off
+        # the diagonal blocks (disjoint column support), the -inf
+        # additive block mask makes the joint softmax exactly the f
+        # per-head softmaxes, and out~ = probs~ @ v~ has disjoint
+        # column support per row block, so summing the f row blocks
+        # assembles the group's [TN, L, f*d] output with no masking.
         outs = []
-        for i in range(num_heads):
-            qi = q[:, :, i * d : (i + 1) * d]
-            ki = k[:, :, i * d : (i + 1) * d]
-            vi = v[:, :, i * d : (i + 1) * d]
+        for h0, f in groups:
+            qg = q[:, :, h0 * d : (h0 + f) * d]
+            kg = k[:, :, h0 * d : (h0 + f) * d]
+            vg = v[:, :, h0 * d : (h0 + f) * d]
+            if f == 1:
+                scores = jax.lax.dot_general(
+                    qg, kg,
+                    dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )  # [TN, L, S]
+                scores = scores * scale + bias[:, None, :]
+                probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+                outs.append(
+                    jax.lax.dot_general(
+                        probs, vg,
+                        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32,
+                    ).astype(x.dtype)
+                )  # [TN, L, D]
+                continue
+
+            # block masks, built in-kernel from iota (pallas_call rejects
+            # captured array constants): block-diagonal 0/1 over
+            # [f*L, f*d] and additive 0/-inf over [f*L, f*L]
+            ri = jax.lax.broadcasted_iota(jnp.int32, (f * l, f * d), 0) // l
+            ci = jax.lax.broadcasted_iota(jnp.int32, (f * l, f * d), 1) // d
+            diag_c = (ri == ci).astype(x.dtype)
+            rb = jax.lax.broadcasted_iota(jnp.int32, (f * l, f * l), 0) // l
+            cb = jax.lax.broadcasted_iota(jnp.int32, (f * l, f * l), 1) // l
+            blk_c = jnp.where(rb == cb, jnp.float32(0.0),
+                              jnp.float32(NEG_INF))
+
+            tile = lambda a: jnp.concatenate([a] * f, axis=1)
+            qt = tile(qg) * diag_c
+            kt = tile(kg) * diag_c
+            vt = tile(vg) * diag_c
             scores = jax.lax.dot_general(
-                qi, ki,
+                qt, kt,
                 dimension_numbers=(((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
-            )  # [TN, L, S]
-            scores = scores * scale + bias
+            )  # [TN, fL, fL]
+            kbias = jnp.concatenate([bias] * f, axis=-1)  # [TN, fL]
+            scores = scores * scale + blk_c[None] + kbias[:, None, :]
             probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-            outs.append(
-                jax.lax.dot_general(
-                    probs, vi,
-                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                    preferred_element_type=jnp.float32,
-                ).astype(x.dtype)
-            )  # [TN, L, D]
+            og = jax.lax.dot_general(
+                probs, vt,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # [TN, fL, fd]; row block h has support on column block h
+            acc = og[:, 0:l, :]
+            for i in range(1, f):
+                acc = acc + og[:, i * l:(i + 1) * l, :]
+            outs.append(acc.astype(x.dtype))
         out = jnp.concatenate(outs, axis=-1).reshape(tn * l, c)
         out_ref[:] = dot(out, wo_ref, bo_ref).reshape(tn, l, c).astype(out_dtype)
 
@@ -106,11 +169,12 @@ def _make_kernel(num_heads: int, tn: int, l: int, c: int, out_dtype):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_heads", "tile_windows", "interpret")
+    jax.jit,
+    static_argnames=("num_heads", "tile_windows", "interpret", "fold"),
 )
 def window_mha_pallas(x, mask, wq, bq, wk, bk, wv, bv, wo, bo,
                       num_heads: int, tile_windows: int = 0,
-                      interpret: bool = False):
+                      interpret: bool = False, fold: int = 1):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -137,7 +201,7 @@ def window_mha_pallas(x, mask, wq, bq, wk, bk, wv, bv, wo, bo,
     w2 = lambda: pl.BlockSpec((c, c), lambda i: (0, 0),
                               memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        _make_kernel(num_heads, tn, l, c, x.dtype),
+        _make_kernel(num_heads, tn, l, c, x.dtype, fold=fold),
         out_shape=jax.ShapeDtypeStruct((n + n_pad, l, c), x.dtype),
         grid=(nt,),
         in_specs=[
@@ -158,21 +222,21 @@ def window_mha_pallas(x, mask, wq, bq, wk, bk, wv, bv, wo, bo,
     return out[:n]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(10,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11))
 def fused_window_mha(x, mask, wq, bq, wk, bk, wv, bv, wo, bo,
-                     num_heads: int):
+                     num_heads: int, fold: int = 1):
     """Differentiable fused window MHA: Pallas forward, XLA-VJP backward."""
     return window_mha_pallas(x, mask, wq, bq, wk, bk, wv, bv, wo, bo,
-                             num_heads=num_heads)
+                             num_heads=num_heads, fold=fold)
 
 
-def _fwd(x, mask, wq, bq, wk, bk, wv, bv, wo, bo, num_heads):
+def _fwd(x, mask, wq, bq, wk, bk, wv, bv, wo, bo, num_heads, fold):
     out = window_mha_pallas(x, mask, wq, bq, wk, bk, wv, bv, wo, bo,
-                            num_heads=num_heads)
+                            num_heads=num_heads, fold=fold)
     return out, (x, mask, wq, bq, wk, bk, wv, bv, wo, bo)
 
 
-def _bwd(num_heads, res, g):
+def _bwd(num_heads, fold, res, g):
     x, mask, wq, bq, wk, bk, wv, bv, wo, bo = res
     _, vjp = jax.vjp(
         lambda x, wq, bq, wk, bk, wv, bv, wo, bo: window_mha_xla(

@@ -1,6 +1,7 @@
 """Pallas kernels vs their XLA reference implementations (SURVEY.md §4
 kernel-tier tests; interpret mode on the CPU backend)."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -110,6 +111,36 @@ def test_window_mha_pallas_matches_xla():
                             num_heads=h, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("n,l,c,h,fold", [
+    (16, 36, 256, 8, 4),    # dec1 shape, even fold
+    (8, 36, 512, 16, 4),    # dec2 shape
+    (8, 36, 512, 16, 3),    # ragged fold (16 = 3+3+3+3+3+1)
+    (8, 16, 1024, 32, 8),   # dec3 full-map shape
+    (6, 36, 256, 8, 5),     # fold > half: groups (5, 3)
+])
+def test_window_mha_folded_matches_xla(n, l, c, h, fold):
+    """Head-folded block-diagonal joint matmul (fold>1) must be exact vs
+    the per-head XLA reference for any head partition, masked and not."""
+    from ldm_image_generator_tpu.kernels.window_attention import (
+        window_mha_pallas,
+        window_mha_xla,
+    )
+
+    ks = jax.random.split(jax.random.PRNGKey(0), 10)
+    x = jax.random.normal(ks[0], (n, l, c))
+    w = lambda i: jax.random.normal(ks[i], (c, c)) * 0.05
+    b = lambda i: jax.random.normal(ks[i + 4], (c,)) * 0.01
+    args = (w(1), b(1), w(2), b(2), w(3), b(3), w(4), b(4))
+    mask = jax.random.uniform(ks[9], (n, l)) < 0.25
+
+    for m in (mask, None):
+        ref = window_mha_xla(x, m, *args, num_heads=h)
+        out = window_mha_pallas(x, m, *args, num_heads=h, interpret=True,
+                                fold=fold)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
 
 
 def test_fused_window_mha_grad_matches_xla():
