@@ -1,0 +1,268 @@
+"""Production-scale quality gate: train the DEFAULT config on real
+images and prove sample quality (patched KID) improves.
+
+Round-2 verdict item 3: perf work on the flagship path (385.7M UNet,
+256px sampling) had no quality signal — KID was only ever wired to the
+tiny-config overfit demo. This script runs the full flagship loop on
+real photos:
+
+  1. dataset: random 256px crops of the real photographs bundled with
+     sklearn/matplotlib/pygame (this environment has no egress; these
+     are the real-image corpus available offline);
+  2. train the default VAE+GAN (12.7M/13.2M/0.57M) at crop 192;
+  3. encode the set; train the default 385.7M UNet on the frozen
+     latents;
+  4. at several checkpoints: sample a grid through the jitted 256px
+     LDMPipeline and compute patched KID (utils/quality.py) between
+     samples and the real set, using the trained VAE encoder as the
+     feature extractor.
+
+Writes quality/metrics.jsonl, quality/samples_step*.jpg grids, and
+QUALITY_r03.json {"ok": kid_end < kid_start, ...} at the repo root.
+
+Run (TPU, ~30-60 min mostly compiles):
+    python benchmarks/quality_gate.py [--vae-steps N] [--ldm-steps N]
+"""
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SOURCE_GLOBS = [
+    "/opt/venv/lib/python3.12/site-packages/sklearn/datasets/images/*.jpg",
+    "/opt/venv/lib/python3.12/site-packages/matplotlib/mpl-data/sample_data/grace_hopper.jpg",
+    "/opt/venv/lib/python3.12/site-packages/pygame/examples/data/*.jpg",
+    "/opt/venv/lib/python3.12/site-packages/pygame/docs/generated/_images/*.jpg",
+]
+
+
+def build_dataset(outdir: str, n: int = 96, size: int = 256) -> int:
+    """Random crops/resizes of the bundled real photos -> JPEG corpus."""
+    import numpy as np
+    from PIL import Image
+
+    os.makedirs(outdir, exist_ok=True)
+    if len(glob.glob(os.path.join(outdir, "*.jpg"))) >= n:
+        return n
+    sources = []
+    for g in SOURCE_GLOBS:
+        sources += sorted(glob.glob(g))
+    imgs = []
+    for p in sources:
+        try:
+            im = Image.open(p).convert("RGB")
+            if min(im.size) >= 128:
+                imgs.append(im)
+        except Exception:
+            pass
+    assert imgs, "no source photos found"
+    rng = np.random.default_rng(0)
+    for i in range(n):
+        im = imgs[i % len(imgs)]
+        w, h = im.size
+        s = int(min(w, h) * rng.uniform(0.4, 1.0))
+        x0 = rng.integers(0, w - s + 1)
+        y0 = rng.integers(0, h - s + 1)
+        crop = im.crop((x0, y0, x0 + s, y0 + s)).resize(
+            (size, size), Image.BICUBIC
+        )
+        if rng.random() < 0.5:
+            crop = crop.transpose(Image.FLIP_LEFT_RIGHT)
+        crop.save(os.path.join(outdir, f"{i:04d}.jpg"), quality=95)
+    return n
+
+
+def main():
+    argval = lambda name, d: (
+        int(sys.argv[sys.argv.index(name) + 1]) if name in sys.argv else d
+    )
+    vae_steps = argval("--vae-steps", 400)
+    ldm_steps = argval("--ldm-steps", 600)
+
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from ldm_image_generator_tpu.config import (
+        DDPMConfig, DiscriminatorConfig, UNetConfig, VAEConfig,
+    )
+    from ldm_image_generator_tpu.data import BatchLoader, ImageDataset
+    from ldm_image_generator_tpu.diffusion import make_schedule
+    from ldm_image_generator_tpu.models import (
+        Decoder, Discriminator, Encoder, UNet, VectorQuantizer,
+    )
+    from ldm_image_generator_tpu.pipelines import LDMPipeline
+    from ldm_image_generator_tpu.train import (
+        LDMTrainState, VAETrainState, make_ldm_train_step,
+        make_optimizer, make_vae_train_step,
+    )
+    from ldm_image_generator_tpu.utils.quality import (
+        kid_mean_std, patch_features,
+    )
+    from ldm_image_generator_tpu.cli.common import float_to_image, save_image
+
+    qdir = os.path.join(REPO, "quality")
+    os.makedirs(qdir, exist_ok=True)
+    data_dir = os.path.join(qdir, "dataset")
+    n_imgs = build_dataset(data_dir, n=96, size=256)
+    print(f"dataset: {n_imgs} real-photo crops at 256px", flush=True)
+
+    metrics_path = os.path.join(qdir, "metrics.jsonl")
+    mlog = open(metrics_path, "w")
+
+    def log(rec):
+        rec["t"] = round(time.time(), 1)
+        mlog.write(json.dumps(rec) + "\n")
+        mlog.flush()
+        print(json.dumps(rec), flush=True)
+
+    key = jax.random.PRNGKey(0)
+    vcfg, dcfg, ucfg = VAEConfig(), DiscriminatorConfig(), UNetConfig()
+    ddpm_cfg = DDPMConfig()
+
+    # ---- 1. VAE+GAN training at the default scale -----------------------
+    enc = Encoder(vcfg, dtype=jnp.bfloat16)
+    dec = Decoder(vcfg, dtype=jnp.bfloat16)
+    q = VectorQuantizer(vcfg.num_embeddings, vcfg.embedding_dim)
+    disc = Discriminator(dcfg, dtype=jnp.bfloat16)
+    crop = 192
+    img0 = jnp.zeros((1, crop, crop, 3))
+    z0 = jnp.zeros((1, crop // vcfg.downscale, crop // vcfg.downscale,
+                    vcfg.latent_channels))
+    vp = {
+        "encoder": enc.init(key, img0)["params"],
+        "decoder": dec.init(key, z0)["params"],
+        "quantizer": q.init(
+            key, z0.reshape(1, -1, vcfg.embedding_dim))["params"],
+    }
+    disc_p = disc.init(key, img0)["params"]
+    tx_v, tx_d = make_optimizer("adafactor"), make_optimizer("adafactor")
+    vstate = VAETrainState(
+        vae_params=vp, disc_params=disc_p, opt_state_vae=tx_v.init(vp),
+        opt_state_disc=tx_d.init(disc_p), step=jnp.zeros((), jnp.int32),
+    )
+    vstep = jax.jit(
+        make_vae_train_step(enc, dec, q, disc, tx_v, tx_d, crop_size=crop),
+        donate_argnums=(0,),
+    )
+
+    ds = ImageDataset([data_dir], size=256,
+                      cache_dir=os.path.join(qdir, "cache"))
+    loader = BatchLoader(ds, 8, seed=1)
+    t0 = time.time()
+    step_count = 0
+    while step_count < vae_steps:
+        for images in loader:
+            vstate, vm, _ = vstep(vstate, jnp.asarray(images),
+                                  jax.random.fold_in(key, step_count))
+            step_count += 1
+            if step_count % 100 == 0:
+                log({"phase": "vae", "step": step_count,
+                     "recon": round(float(vm["recon"]), 4),
+                     "d_loss": round(float(vm["d_loss"]), 4)})
+            if step_count >= vae_steps:
+                break
+    log({"phase": "vae_done", "steps": step_count,
+         "sec": round(time.time() - t0, 1)})
+
+    # ---- 2. encode the corpus + real features ---------------------------
+    enc_params = {"params": vstate.vae_params["encoder"]}
+    encode = jax.jit(lambda x: enc.apply(enc_params, x))
+    real = np.stack([ds[i] for i in range(len(ds))])
+    latents = []
+    for i in range(0, len(real), 8):
+        batch = real[i:i + 8]
+        pad = 8 - len(batch)
+        if pad:
+            batch = np.concatenate([batch, np.zeros_like(batch[:1]).repeat(pad, 0)])
+        latents.append(np.asarray(encode(jnp.asarray(batch)))[:8 - pad])
+    latents = np.concatenate(latents)[: len(real)]
+    real_feats = jnp.asarray(
+        np.concatenate([
+            np.asarray(patch_features(jnp.asarray(
+                encode(jnp.asarray(real[i:i + 8]))
+            ).astype(jnp.float32)))
+            for i in range(0, (len(real) // 8) * 8, 8)
+        ])
+    )
+    log({"phase": "encoded", "latents": list(latents.shape)})
+
+    # ---- 3. LDM training on frozen latents ------------------------------
+    unet = UNet(ucfg, dtype=jnp.bfloat16)
+    t1 = jnp.zeros((1,), jnp.int32)
+    up = unet.init({"params": key, "moe": key, "sd": key},
+                   jnp.asarray(latents[:1]), t1)
+    schedule = make_schedule(ddpm_cfg)
+    tx = make_optimizer("adamw", 1e-4)
+    lstate = LDMTrainState(params=up, opt_state=tx.init(up),
+                           step=jnp.zeros((), jnp.int32))
+    lstep = jax.jit(make_ldm_train_step(unet, schedule, tx),
+                    donate_argnums=(0,))
+
+    pipe = LDMPipeline(ucfg, vcfg, ddpm_cfg, dtype=jnp.bfloat16)
+    dec_params = {"params": vstate.vae_params["decoder"]}
+
+    def eval_kid(params, tag):
+        imgs = pipe.sample(params, dec_params, jax.random.PRNGKey(42),
+                           batch=16, image_size=256, num_steps=20)
+        imgs = np.asarray(jax.device_get(imgs))
+        grid = imgs.reshape(4, 4, 256, 256, 3).transpose(
+            0, 2, 1, 3, 4).reshape(4 * 256, 4 * 256, 3)
+        save_image(grid, os.path.join(qdir, f"samples_{tag}.jpg"))
+        fake = jnp.asarray(imgs.astype(np.float32) / 127.5 - 1.0)
+        fake_feats = jnp.concatenate([
+            patch_features(encode(fake[i:i + 8]).astype(jnp.float32))
+            for i in range(0, 16, 8)
+        ])
+        mean, std = kid_mean_std(real_feats, fake_feats,
+                                 jax.random.PRNGKey(7))
+        return float(mean), float(std)
+
+    kids = []
+    evals = [0, ldm_steps // 3, 2 * ldm_steps // 3, ldm_steps]
+    t0 = time.time()
+    step_count = 0
+    lat_loader = iter([])
+    rng = np.random.default_rng(3)
+    while True:
+        if step_count in evals:
+            m, s = eval_kid(lstate.params, f"step{step_count:05d}")
+            kids.append({"step": step_count, "kid": round(m, 5),
+                         "kid_std": round(s, 5)})
+            log({"phase": "kid", **kids[-1]})
+        if step_count >= ldm_steps:
+            break
+        idx = rng.choice(len(latents), 8, replace=False)
+        lstate, lm = lstep(lstate, jnp.asarray(latents[idx]),
+                           jax.random.fold_in(jax.random.PRNGKey(5),
+                                              step_count))
+        step_count += 1
+        if step_count % 100 == 0:
+            log({"phase": "ldm", "step": step_count,
+                 "loss": round(float(lm["loss"]), 4)})
+    log({"phase": "ldm_done", "steps": step_count,
+         "sec": round(time.time() - t0, 1)})
+
+    result = {
+        "ok": bool(kids[-1]["kid"] < kids[0]["kid"]),
+        "kid_trend": kids,
+        "vae_steps": vae_steps,
+        "ldm_steps": ldm_steps,
+        "dataset": f"{n_imgs} real-photo 256px crops",
+        "config": "default (385.7M UNet, 12.7M/13.2M VAE)",
+    }
+    with open(os.path.join(REPO, "QUALITY_r03.json"), "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result), flush=True)
+    mlog.close()
+
+
+if __name__ == "__main__":
+    main()
