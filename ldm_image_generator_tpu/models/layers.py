@@ -108,18 +108,26 @@ class MultiHeadAttention(nn.Module):
             )
 
             x_in = q_in.astype(dt)
+            # head-fold factor, measured per production shape at b64
+            # (benchmarks/attn_fold.py): fold=4 at <=4 heads
+            # (2.04 vs 2.27 ms unfolded, 3.76 XLA at dec0) and fold=8 on
+            # short (<=16-token) full-map sequences (0.99 vs 1.16 XLA at
+            # dec3); the 8/16-head 36-token stages stay on XLA via the
+            # use_fused gate (fold=4 closed most of the per-head-loop gap
+            # there — 1.49/1.53 vs 1.43/1.38 XLA — but still loses).
+            fold = min(8, h) if x_in.shape[1] <= 16 else min(4, h)
             sig = (x_in.shape, jnp.dtype(x_in.dtype).name,
-                   key_padding_mask is not None, h)
+                   key_padding_mask is not None, h, fold)
             thunk = lambda: window_mha_pallas.lower(
                 jax.ShapeDtypeStruct(x_in.shape, x_in.dtype),
                 None if key_padding_mask is None else jax.ShapeDtypeStruct(
                     key_padding_mask.shape, key_padding_mask.dtype),
                 *[jax.ShapeDtypeStruct(w.shape, w.dtype) for w in weights],
-                num_heads=h,
+                num_heads=h, fold=fold,
             ).compile()
             if pallas_usable("window_attention", sig, thunk):
                 return fused_window_mha(
-                    x_in, key_padding_mask, *weights, num_heads=h
+                    x_in, key_padding_mask, *weights, num_heads=h, fold=fold
                 )
 
         if q_in is kv_in:
