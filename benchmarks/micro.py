@@ -118,12 +118,30 @@ def main():
              BASE_E2E if batch == 1 else None)
 
     if "--train" in sys.argv:
+        import dataclasses
+        import time as _t
+
         from ldm_image_generator_tpu.diffusion import make_schedule
         from ldm_image_generator_tpu.train import (
-            LDMTrainState, make_ldm_train_step, make_optimizer,
+            LDMTrainState, VAETrainState, make_ldm_train_step,
+            make_optimizer, make_vae_train_step,
         )
 
         schedule = make_schedule(DDPMConfig())
+
+        def timed_train_chain(build_chain, n_steps, iters=2):
+            """Compile + run a jitted n-step training scan, fenced; returns
+            s/step. The chain carries the train state through dependent
+            steps so the device runs back-to-back fwd+bwd+opt."""
+            chain = build_chain()
+            out = chain()
+            fence(out)
+            t0 = _t.perf_counter()
+            for _ in range(iters):
+                out = chain()
+                fence(out)
+            return (_t.perf_counter() - t0) / (iters * n_steps)
+
         tx = make_optimizer("adamw", 1e-4)
         state = LDMTrainState(params=up, opt_state=tx.init(up),
                               step=jnp.zeros((), jnp.int32))
@@ -140,13 +158,103 @@ def main():
 
         state2, losses = chain_train(state)
         fence(losses)
-        import time as _t
-
         t0 = _t.perf_counter()
         state2, losses = chain_train(state)
         fence(losses)
         emit("ldm_train_step_b8_latent32", (_t.perf_counter() - t0) / 10,
              "s/step", None)
+        del state2, losses
+
+        # ---- the reference's documented operating points (round-2
+        # verdict item 2): LDM train step at b64 latent-32 (the
+        # reference's 37.1 s/step b64 denoise workload, now fwd+bwd+opt)
+        # with remat on/off, and the VAE+GAN step at 512px/crop-192
+        # (train_vae.py:28,57,109). Baselines from BASELINE.md
+        # (benchmarks/ref_train_baseline.py measurements).
+        xb64 = jax.random.normal(key, (64, 32, 32, 8), jnp.float32)
+        for remat in (False, True):
+            ucfg_r = dataclasses.replace(ucfg, remat=remat)
+            unet_r = UNet(ucfg_r, dtype=jnp.bfloat16)
+            step_r = make_ldm_train_step(unet_r, schedule, tx)
+            n = 4
+
+            def build():
+                @jax.jit
+                def chain(state):
+                    def body(s, i):
+                        s, m = step_r(s, xb64, jax.random.fold_in(key, i))
+                        return s, m["loss"]
+
+                    return jax.lax.scan(body, state, jnp.arange(n))
+
+                st = LDMTrainState(params=up, opt_state=tx.init(up),
+                                   step=jnp.zeros((), jnp.int32))
+                return lambda: chain(st)
+
+            name = "ldm_train_step_b64_latent32" + ("_remat" if remat else "")
+            try:
+                sec = timed_train_chain(build, n)
+                # 305.96 s/step: measured reference CPU fwd+bwd+opt
+                # (benchmarks/ref_train_baseline.py, torch eager)
+                emit(name, sec, "s/step", 305.96)
+            except Exception as e:
+                print(json.dumps({"metric": name,
+                                  "error": str(e)[:200]}), flush=True)
+
+        from ldm_image_generator_tpu.config import DiscriminatorConfig
+        from ldm_image_generator_tpu.models import (
+            Discriminator, Encoder, VectorQuantizer,
+        )
+
+        vcfg_t, dcfg_t = VAEConfig(), DiscriminatorConfig()
+        enc = Encoder(vcfg_t, dtype=jnp.bfloat16)
+        dec2 = Decoder(vcfg_t, dtype=jnp.bfloat16)
+        q = VectorQuantizer(vcfg_t.num_embeddings, vcfg_t.embedding_dim)
+        disc = Discriminator(dcfg_t, dtype=jnp.bfloat16)
+        crop = 192
+        img0 = jnp.zeros((1, crop, crop, 3))
+        z0 = jnp.zeros((1, crop // vcfg_t.downscale, crop // vcfg_t.downscale,
+                        vcfg_t.latent_channels))
+        vp = {
+            "encoder": enc.init(key, img0)["params"],
+            "decoder": dec2.init(key, z0)["params"],
+            "quantizer": q.init(
+                key, z0.reshape(1, -1, vcfg_t.embedding_dim))["params"],
+        }
+        disc_p = disc.init(key, img0)["params"]
+        tx_v = make_optimizer("adafactor")
+        tx_d = make_optimizer("adafactor")
+        vstep = make_vae_train_step(enc, dec2, q, disc, tx_v, tx_d,
+                                    crop_size=crop)
+        imgs512 = jax.random.uniform(key, (8, 512, 512, 3), jnp.float32,
+                                     minval=-1, maxval=1)
+        n = 8
+
+        def build_vae():
+            @jax.jit
+            def chain(state):
+                def body(s, i):
+                    s, m, _ = vstep(s, imgs512, jax.random.fold_in(key, i))
+                    return s, m["loss"]
+
+                return jax.lax.scan(body, state, jnp.arange(n))
+
+            st = VAETrainState(
+                vae_params=vp, disc_params=disc_p,
+                opt_state_vae=tx_v.init(vp),
+                opt_state_disc=tx_d.init(disc_p),
+                step=jnp.zeros((), jnp.int32),
+            )
+            return lambda: chain(st)
+
+        try:
+            sec = timed_train_chain(build_vae, n)
+            # 42.25 s/step: measured reference CPU VAE+GAN step
+            # (benchmarks/ref_train_baseline.py, torch eager)
+            emit("vae_gan_train_step_b8_512px_crop192", sec, "s/step", 42.25)
+        except Exception as e:
+            print(json.dumps({"metric": "vae_gan_train_step_b8_512px_crop192",
+                              "error": str(e)[:200]}), flush=True)
 
 
 if __name__ == "__main__":
