@@ -418,10 +418,42 @@ class RandomMoE(nn.Module):
         return general(x) + out
 
 
+class _FiLMProj1(nn.Module):
+    """First FiLM MLP layer with the concat-matmul factored:
+
+        W1 @ concat(pos, time) == W1[:C] @ pos + W1[C:] @ time
+
+    The pos half is batch-invariant ([1, H, W, C] -> computed once) and
+    the time half is pixel-invariant ([bt, 1, 1, C] -> one row per
+    timestep), so the layer costs H*W*C*4C + bt*C*4C FLOPs instead of
+    bt*H*W*2C*4C — at training time-batch (bt = image batch) this halves
+    the whole FiLM tower's FLOPs (layer 2 now dominates). Param tree and
+    init are identical to the nn.Dense it replaces ('proj1'/kernel+bias,
+    [2C, 4C]), so existing checkpoints load unchanged; numerics differ
+    from the single concat matmul only by fp summation order."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, pos, tim):
+        c = pos.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (2 * c, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        k = kernel.astype(self.dtype)
+        pos_part = pos.astype(self.dtype) @ k[:c]      # [1, H, W, 4C]
+        tim_part = tim.astype(self.dtype) @ k[c:]      # [bt, 1, 1, 4C]
+        return pos_part + tim_part + bias.astype(self.dtype)
+
+
 class Encodings(nn.Module):
     """FiLM conditioning from concatenated positional+time encodings
     (unet.py:9-23): concat [pe | te] -> 1x1 MLP (2C -> 4C -> 2C, ReLU) ->
-    chunk into (mul, bias) -> x * mul + bias."""
+    chunk into (mul, bias) -> x * mul + bias. The first layer runs in
+    factored form (_FiLMProj1) — same math, half the tower FLOPs at
+    per-sample time batches."""
 
     channels: int
     dtype: Dtype = jnp.float32
@@ -437,14 +469,10 @@ class Encodings(nn.Module):
         bt = t.shape[0]
         pe = positional_encoding_2d(h, w, c, dtype=self.dtype)  # [H,W,C]
         te = time_encoding_2d(t, c, dtype=self.dtype)  # [bt,1,1,C]
-        embs = jnp.concatenate(
-            [
-                jnp.broadcast_to(pe[None], (bt, h, w, c)),
-                jnp.broadcast_to(te, (bt, h, w, c)),
-            ],
-            axis=-1,
+        embs = _FiLMProj1(c * 4, dtype=self.dtype, name="proj1")(
+            pe[None], te
         )
-        embs = nn.Dense(c * 4, dtype=self.dtype, name="proj1")(embs)
+        embs = jnp.broadcast_to(embs, (bt, h, w, c * 4))
         embs = nn.Dense(c * 2, dtype=self.dtype, name="proj2")(jax.nn.relu(embs))
         mul, bias = jnp.split(embs, 2, axis=-1)
         if return_film:
