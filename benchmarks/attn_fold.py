@@ -51,12 +51,14 @@ def main():
         b = lambda i: jnp.zeros((c,), jnp.bfloat16)
         args = (w(1), b(1), w(2), b(2), w(3), b(3), w(4), b(4))
 
-        def xla_step(x, ws):
-            return window_mha_xla(x, mask, *ws, num_heads=h).astype(x.dtype)
+        if os.environ.get("ATTN_FOLD_SKIP_XLA", "") != "1":
+            def xla_step(x, ws):
+                return window_mha_xla(x, mask, *ws,
+                                      num_heads=h).astype(x.dtype)
 
-        sec = chained_time(xla_step, x, args, chain_len=30, iters=3)
-        print(json.dumps({"shape": name, "backend": "xla",
-                          "ms": round(sec * 1e3, 4)}), flush=True)
+            sec = chained_time(xla_step, x, args, chain_len=30, iters=3)
+            print(json.dumps({"shape": name, "backend": "xla",
+                              "ms": round(sec * 1e3, 4)}), flush=True)
 
         for fold in folds:
             for tn in tiles:

@@ -42,7 +42,10 @@ def main():
         lambda k: unet0.init({"params": k, "moe": k}, x, t)
     )(key)
 
-    for backend in ("auto", "xla", "pallas"):
+    backends = tuple(
+        os.environ.get("ATTN_INMODEL_BACKENDS", "auto,xla,pallas").split(",")
+    )
+    for backend in backends:
         cfg = dataclasses.replace(base_cfg, attention_backend=backend)
         unet = UNet(cfg, dtype=jnp.bfloat16)
 

@@ -57,14 +57,15 @@ class MultiHeadAttention(nn.Module):
 
     channels: int
     num_heads: int
-    # 'auto': fused Pallas self-attention where it measures faster than
-    # XLA's lowering (benchmarks/attn_shapes.py + /tmp probes at b64):
-    # <= 4 heads (2.21 vs 3.62 ms, -39%) and short sequences <= 16
-    # tokens (the window-bypass full-map case: 0.25 vs 0.39 ms, -36%).
-    # 8/16-head 36-token windows stay on XLA (tie / +12%; the static
-    # per-head loop in the kernel is the scaling limit — head-folding
-    # into block-masked joint matmuls was measured exact in interpret
-    # mode but crashes this environment's Mosaic compiler).
+    # 'auto': fused Pallas self-attention with head folding on every
+    # self-attention stage. Round 2 gated this per shape from STANDALONE
+    # kernel A/Bs (8/16-head stages stayed on XLA); round 3's IN-MODEL
+    # measurement (benchmarks/attn_inmodel.py, full 385.7M UNet denoise
+    # at b64, t-batch 64) showed the standalone numbers don't transfer:
+    # pallas-everywhere 18.54 ms vs mixed 18.68 vs XLA-everywhere
+    # 22.39. The head-folded joint matmul (fold=4 at 36-token windows,
+    # fold=8 at short sequences; kernels/window_attention.py) is what
+    # closed the 8/16-head gap the round-2 per-head loop lost.
     # 'pallas'/'xla' force the backend.
     backend: str = "auto"
     dtype: Dtype = jnp.float32
@@ -92,9 +93,7 @@ class MultiHeadAttention(nn.Module):
             w.astype(dt) for w in (wq, bq, wk, bk, wv, bv, wo, bo)
         )
 
-        use_fused = self.backend == "pallas" or (
-            self.backend == "auto" and (h <= 4 or q_in.shape[1] <= 16)
-        )
+        use_fused = self.backend in ("pallas", "auto")
         if (
             use_fused
             and q_in is kv_in
