@@ -180,9 +180,13 @@ def window_mha_pallas(x, mask, wq, bq, wk, bk, wv, bv, wo, bo,
 
     n, l, c = x.shape
     if tile_windows == 0:
-        # measured: 8 windows/tile best at 36-token windows, 16 at the
-        # short (<=16 token) full-map sequences
-        tile_windows = 8 if l > 16 else 16
+        import os
+
+        # measured in-model at b64/t64 (benchmarks/attn_inmodel.py,
+        # LDM_ATTN_TN sweep): 16 windows/tile 17.33 ms vs 8 -> 17.52;
+        # 4 violates Mosaic's (8,128) block divisibility, 32 crashes the
+        # remote compiler. LDM_ATTN_TN overrides for tuning sweeps.
+        tile_windows = int(os.environ.get("LDM_ATTN_TN", "0")) or 16
     tn = min(tile_windows, n)
     if mask is None:
         bias = jnp.zeros((n, l), dtype=jnp.float32)
