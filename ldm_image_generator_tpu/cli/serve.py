@@ -10,11 +10,18 @@ requests are coalesced into fixed jitted batch buckets
         --port 8080 --buckets 1 2 4 8
 
     GET  /healthz                          -> {"ok": true, stats...}
-    GET  /sample?seed=123                  -> image/jpeg
-    POST /sample  {"seed": 123}            -> image/jpeg
+    GET  /stats                            -> full counters + latency
+                                              histograms (p50/p90/p99)
+    GET  /sample?seed=123[&size=512]       -> image/jpeg
+    POST /sample  {"seed": 123, "size": 512} -> image/jpeg
 
 Requests are deterministic per seed and independent of how they get
 batched (each request contributes its own x_T via init_noise; eta=0).
+
+Hardening (serving.py): `--size` takes several sizes (one server,
+one set of weights, a jitted pipeline per size); a full queue sheds
+load as HTTP 503; `--ttl-s` expires requests stuck in the queue
+(HTTP 504).
 """
 from __future__ import annotations
 
@@ -34,13 +41,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-decp", "--decpath", default="./vae_decoder.pt")
     add_device_arg(p)
     p.add_argument("-fp16", default=True, type=str2bool)
-    p.add_argument("-s", "--size", default=256, type=int)
+    p.add_argument("-s", "--size", nargs="+", default=[256], type=int,
+                   help="image size(s) to serve; first is the default")
     p.add_argument("-t", "--timesteps", default=20, type=int)
     p.add_argument("--sampler", default="ddim", choices=["ddim", "dpm++2m"])
     p.add_argument("--port", default=8080, type=int)
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--buckets", nargs="+", type=int, default=[1, 2, 4, 8])
     p.add_argument("--max-wait-ms", default=25.0, type=float)
+    p.add_argument("--max-queue", default=1024, type=int,
+                   help="pending-request bound; beyond it submit sheds "
+                        "load (HTTP 503)")
+    p.add_argument("--ttl-s", default=None, type=float,
+                   help="drop requests queued longer than this (HTTP 504)")
     p.add_argument("--config", default="default",
                    choices=["default", "tiny"])
     p.add_argument("--quant", default="none", choices=["none", "int8"],
@@ -52,7 +65,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def make_sampler(args):
-    """(pipeline_sample(keys, batch), image_size) from CLI args."""
+    """({image_size: pipeline_sample(keys, batch)}, default_size) from
+    CLI args. All sizes share one set of weights (UNet/decoder params
+    are spatial-size independent); each size is its own jit variant."""
     import jax
     import jax.numpy as jnp
 
@@ -74,9 +89,11 @@ def make_sampler(args):
                       zero_terminal_snr=args.zero_snr)
     pipe = LDMPipeline(ucfg, vcfg, dcfg, dtype=dtype)
 
+    sizes = list(args.size) if isinstance(args.size, (list, tuple)) \
+        else [args.size]
     key = jax.random.PRNGKey(0)
-    latent = args.size // vcfg.downscale
-    z0 = jnp.zeros((1, latent, latent, ucfg.input_channels))
+    latent0 = sizes[0] // vcfg.downscale
+    z0 = jnp.zeros((1, latent0, latent0, ucfg.input_channels))
     t0 = jnp.zeros((1,), jnp.int32)
     unet_params = pipe.unet.init({"params": key, "moe": key}, z0, t0)
     dec_params = pipe.decoder.init(key, z0)
@@ -87,21 +104,25 @@ def make_sampler(args):
         args.decpath, dec_params, lambda sd: ti.convert_decoder(sd, vcfg)
     ) or dec_params
 
-    noise_shape = (latent, latent, ucfg.input_channels)
+    def make_for_size(size: int):
+        latent = size // vcfg.downscale
+        noise_shape = (latent, latent, ucfg.input_channels)
 
-    def pipeline_sample(keys, batch):
-        # per-request determinism: each request's key seeds only its own
-        # x_T; the shared scan key (routing/eta-noise) is fixed
-        noise = jax.vmap(
-            lambda k: jax.random.normal(k, noise_shape, jnp.float32)
-        )(keys)
-        return pipe.sample(
-            unet_params, dec_params, jax.random.PRNGKey(0),
-            batch=batch, image_size=args.size, num_steps=args.timesteps,
-            sampler=args.sampler, init_noise=noise,
-        )
+        def pipeline_sample(keys, batch):
+            # per-request determinism: each request's key seeds only its
+            # own x_T; the shared scan key (routing/eta-noise) is fixed
+            noise = jax.vmap(
+                lambda k: jax.random.normal(k, noise_shape, jnp.float32)
+            )(keys)
+            return pipe.sample(
+                unet_params, dec_params, jax.random.PRNGKey(0),
+                batch=batch, image_size=size, num_steps=args.timesteps,
+                sampler=args.sampler, init_noise=noise,
+            )
 
-    return pipeline_sample, args.size
+        return pipeline_sample
+
+    return {s: make_for_size(s) for s in sizes}, sizes[0]
 
 
 def make_handler(server, jpeg_encode):
@@ -116,17 +137,44 @@ def make_handler(server, jpeg_encode):
             self.end_headers()
             self.wfile.write(body)
 
-        def _sample(self, seed: int):
-            # any sampler failure (timeout included) must come back as
-            # an HTTP error, not a dropped connection
+        def _sample(self, seed: int, size=None):
+            # every failure mode maps to a specific HTTP status, never a
+            # dropped connection: 503 shed, 504 ttl-expired, 400 bad
+            # variant, 500 anything else
+            from ldm_image_generator_tpu.serving import ServerOverloaded
+
             try:
-                img = server.sample_sync(seed, timeout=600)
+                fut = server.submit(seed, variant=size)
+            except ServerOverloaded as e:
+                self.send_response(503)
+                body = json.dumps({"error": str(e)}).encode()
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Retry-After", "1")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
+            except KeyError as e:
+                return self._send(
+                    400, json.dumps({"error": str(e)}).encode()
+                )
+            try:
+                img = fut.result(timeout=600)
+            except TimeoutError as e:
+                return self._send(
+                    504, json.dumps({"error": f"expired: {e}"}).encode()
+                )
             except Exception as e:
                 return self._send(
                     500,
                     json.dumps({"error": f"sampling failed: {e}"}).encode(),
                 )
             self._send(200, jpeg_encode(img), "image/jpeg")
+
+        @staticmethod
+        def _parse_size(raw):
+            """None (server default) or int; raises ValueError."""
+            return int(raw) if raw is not None else None
 
         def do_GET(self):
             url = urlparse(self.path)
@@ -137,14 +185,20 @@ def make_handler(server, jpeg_encode):
                     "batches": s.batches, "images": s.images,
                     "mean_batch": round(s.mean_batch, 2),
                 }).encode())
+            elif url.path == "/stats":
+                self._send(
+                    200, json.dumps(server.stats.snapshot()).encode()
+                )
             elif url.path == "/sample":
+                q = parse_qs(url.query)
                 try:
-                    seed = int(parse_qs(url.query).get("seed", ["0"])[0])
+                    seed = int(q.get("seed", ["0"])[0])
+                    size = self._parse_size(q.get("size", [None])[0])
                 except ValueError as e:
                     return self._send(
-                        400, json.dumps({"error": f"bad seed: {e}"}).encode()
+                        400, json.dumps({"error": f"bad arg: {e}"}).encode()
                     )
-                self._sample(seed)
+                self._sample(seed, size)
             else:
                 self._send(404, b'{"error": "not found"}')
 
@@ -156,11 +210,12 @@ def make_handler(server, jpeg_encode):
             try:
                 body = json.loads(self.rfile.read(n) or b"{}")
                 seed = int(body.get("seed", 0))
+                size = self._parse_size(body.get("size"))
             except (ValueError, TypeError, AttributeError) as e:
                 return self._send(
                     400, json.dumps({"error": f"bad request: {e}"}).encode()
                 )
-            self._sample(seed)
+            self._sample(seed, size)
 
     return Handler
 
@@ -175,10 +230,13 @@ def main(argv=None):
 
     from ldm_image_generator_tpu.serving import SamplerServer
 
-    pipeline_sample, _ = make_sampler(args)
-    server = SamplerServer(pipeline_sample, batch_buckets=args.buckets,
-                           max_wait_ms=args.max_wait_ms)
-    print("warmup: compiling batch buckets", args.buckets, flush=True)
+    pipelines, _ = make_sampler(args)
+    server = SamplerServer(pipelines, batch_buckets=args.buckets,
+                           max_wait_ms=args.max_wait_ms,
+                           max_queue=args.max_queue,
+                           default_ttl_s=args.ttl_s)
+    print(f"warmup: compiling sizes {list(pipelines)} x buckets "
+          f"{args.buckets}", flush=True)
     server.warmup()
     server.start()
 

@@ -17,73 +17,183 @@ requests into fixed-size jitted batches:
     the worker takes what's there once the oldest request has waited
     long enough.
 
+Production hardening:
+
+  * **Multiple variants per server**: pass `{variant: sample_fn}` (e.g.
+    one per image size) and route with submit(seed, variant=...). Each
+    dispatch batches only same-variant requests; the worker serves the
+    variant with the oldest waiting request first (no starvation).
+  * **Load shedding**: the queue is bounded; when full, submit() raises
+    ServerOverloaded immediately instead of blocking the caller — the
+    HTTP layer maps it to 503 so clients can back off.
+  * **Request TTL + cancellation**: submit(seed, ttl_s=...) expires
+    requests still queued past their deadline (future gets
+    TimeoutError); a future cancelled before dispatch is skipped. Both
+    keep a dead client from burning a batch slot.
+  * **Latency histograms**: ServerStats records per-request end-to-end
+    latency and queue-wait in log-spaced buckets with percentile
+    summaries for the /healthz /stats endpoints.
+
 Run as a JSON/JPEG HTTP daemon via cli/serve.py.
 """
 from __future__ import annotations
 
+import bisect
 import dataclasses
 import queue
 import threading
 import time
-from concurrent.futures import Future
-from typing import Optional, Sequence, Tuple
+from concurrent.futures import Future, InvalidStateError
+from typing import Dict, Optional, Sequence, Tuple, Union
 
 import jax
 import numpy as np
 
 
+class ServerOverloaded(RuntimeError):
+    """Raised by submit() when the request queue is full (shed load)."""
+
+
+# _take_group's "nothing to dispatch" sentinel — must be distinct from
+# every possible variant key (None is the default single-variant key)
+_NO_WORK = object()
+
+
 @dataclasses.dataclass
 class _Request:
     seed: int
+    variant: object
     future: Future
     enqueued_at: float
+    deadline: Optional[float]  # monotonic seconds, None = no TTL
+    claimed: bool = False      # future already moved to RUNNING
+
+
+# Log-spaced latency bucket upper bounds (milliseconds). The last bucket
+# is open-ended.
+_HIST_EDGES_MS = (
+    1, 2, 5, 10, 20, 50, 100, 200, 500,
+    1000, 2000, 5000, 10000, 30000, 60000,
+)
+
+
+class Histogram:
+    """Fixed log-bucket latency histogram (thread-safe via owner lock)."""
+
+    def __init__(self):
+        self.counts = [0] * (len(_HIST_EDGES_MS) + 1)
+        self.total = 0
+        self.sum_ms = 0.0
+
+    def record(self, ms: float) -> None:
+        self.counts[bisect.bisect_left(_HIST_EDGES_MS, ms)] += 1
+        self.total += 1
+        self.sum_ms += ms
+
+    def percentile(self, q: float) -> float:
+        """Approximate percentile: upper edge of the q-quantile bucket."""
+        if not self.total:
+            return 0.0
+        target = q * self.total
+        seen = 0
+        for i, c in enumerate(self.counts):
+            seen += c
+            if seen >= target:
+                return float(_HIST_EDGES_MS[min(i, len(_HIST_EDGES_MS) - 1)])
+        return float(_HIST_EDGES_MS[-1])
+
+    def summary(self) -> dict:
+        return {
+            "count": self.total,
+            "mean_ms": round(self.sum_ms / self.total, 2) if self.total else 0.0,
+            "p50_ms": self.percentile(0.50),
+            "p90_ms": self.percentile(0.90),
+            "p99_ms": self.percentile(0.99),
+            "buckets": {
+                (f"le_{e}ms" if i < len(_HIST_EDGES_MS) else "inf"):
+                    self.counts[i]
+                for i, e in enumerate(
+                    list(_HIST_EDGES_MS) + [_HIST_EDGES_MS[-1]]
+                )
+                if self.counts[i]
+            },
+        }
 
 
 @dataclasses.dataclass
 class ServerStats:
     """Counters mutated from both the submit() callers and the worker
-    thread — all writes go through add() under the lock (plain `+=` on
-    a shared dataclass is a lost-update race)."""
+    thread — all writes go through add()/observe() under the lock
+    (plain `+=` on a shared dataclass is a lost-update race)."""
     requests: int = 0
     batches: int = 0
     images: int = 0
     padded_images: int = 0
+    shed: int = 0        # rejected at submit (queue full)
+    expired: int = 0     # TTL passed while queued
+    cancelled: int = 0   # future cancelled before dispatch
 
     def __post_init__(self):
         self._lock = threading.Lock()
+        self.latency = Histogram()      # submit -> result, per request
+        self.queue_wait = Histogram()   # submit -> dispatch, per request
 
     def add(self, **deltas: int) -> None:
         with self._lock:
             for name, d in deltas.items():
                 setattr(self, name, getattr(self, name) + d)
 
+    def observe(self, latency_ms: float, wait_ms: float) -> None:
+        with self._lock:
+            self.latency.record(latency_ms)
+            self.queue_wait.record(wait_ms)
+
     @property
     def mean_batch(self) -> float:
         return self.images / self.batches if self.batches else 0.0
 
+    def snapshot(self) -> dict:
+        with self._lock:
+            return {
+                "requests": self.requests, "batches": self.batches,
+                "images": self.images, "padded_images": self.padded_images,
+                "shed": self.shed, "expired": self.expired,
+                "cancelled": self.cancelled,
+                "mean_batch": round(self.mean_batch, 2),
+                "latency": self.latency.summary(),
+                "queue_wait": self.queue_wait.summary(),
+            }
+
 
 class SamplerServer:
-    """Dynamic-batching front-end over a pipeline's sample().
+    """Dynamic-batching front-end over one or more pipeline sample fns.
 
-    pipeline_sample(key, batch) -> uint8 images [batch, H, W, 3]; batch
-    must be one of `batch_buckets` (each bucket is one jit
+    `pipelines` is either a single callable (one variant) or a dict
+    `{variant: callable}` — e.g. `{256: sample_256, 512: sample_512}`
+    for a multi-size server. Each callable has the contract
+    `fn(keys [batch, 2], batch) -> uint8 images [batch, H, W, 3]`; batch
+    is one of `batch_buckets` (each bucket+variant is one jit
     specialization). Per-request seeds stay independent: the pipeline
-    is called with a stacked key per image via fold_in inside the
-    wrapper the CLI builds (see cli/serve.py), or any callable with the
-    same contract.
+    is called with a stacked key per image (see cli/serve.py).
     """
 
     def __init__(
         self,
-        pipeline_sample,
+        pipelines: Union[Dict[object, object], object],
         batch_buckets: Sequence[int] = (1, 2, 4, 8),
         max_wait_ms: float = 25.0,
         max_queue: int = 1024,
+        default_ttl_s: Optional[float] = None,
     ):
-        self._sample = pipeline_sample
+        if not isinstance(pipelines, dict):
+            pipelines = {None: pipelines}
+        assert pipelines, "need at least one pipeline variant"
+        self._pipelines = dict(pipelines)
+        self._default_variant = next(iter(self._pipelines))
         self.buckets = tuple(sorted(set(int(b) for b in batch_buckets)))
         assert self.buckets and self.buckets[0] >= 1
         self.max_wait = max_wait_ms / 1000.0
+        self.default_ttl = default_ttl_s
         self._q: "queue.Queue[_Request]" = queue.Queue(maxsize=max_queue)
         self._stop = threading.Event()
         self._worker: Optional[threading.Thread] = None
@@ -91,12 +201,14 @@ class SamplerServer:
 
     # -- lifecycle ---------------------------------------------------------
     def warmup(self) -> None:
-        """Precompile every batch bucket (first calls are slow on TPU)."""
-        for b in self.buckets:
-            keys = jax.numpy.stack(
-                [jax.random.PRNGKey(i) for i in range(b)]
-            )
-            np.asarray(self._sample(keys, b))
+        """Precompile every (variant, bucket) — first calls are slow on
+        TPU; in steady state nothing ever compiles."""
+        for fn in self._pipelines.values():
+            for b in self.buckets:
+                keys = jax.numpy.stack(
+                    [jax.random.PRNGKey(i) for i in range(b)]
+                )
+                np.asarray(fn(keys, b))
 
     def start(self) -> "SamplerServer":
         assert self._worker is None, "already started"
@@ -117,35 +229,103 @@ class SamplerServer:
         self.stop()
 
     # -- client API ---------------------------------------------------------
-    def submit(self, seed: int) -> Future:
-        """Enqueue one image request; resolves to uint8 [H, W, 3]."""
+    def submit(self, seed: int, variant: object = None,
+               ttl_s: Optional[float] = None) -> Future:
+        """Enqueue one image request; resolves to uint8 [H, W, 3].
+
+        Raises ServerOverloaded when the queue is full (load shedding;
+        callers/HTTP map this to 503 + retry-after). KeyError for an
+        unknown variant. ttl_s (or the server default) bounds queue
+        time: expired requests resolve to TimeoutError without burning
+        a batch slot. Cancelling the returned future before dispatch
+        also frees the slot.
+        """
+        if variant is None:
+            variant = self._default_variant
+        if variant not in self._pipelines:
+            raise KeyError(
+                f"unknown variant {variant!r}; have {list(self._pipelines)}"
+            )
         fut: Future = Future()
-        self._q.put(_Request(int(seed), fut, time.monotonic()))
+        ttl = ttl_s if ttl_s is not None else self.default_ttl
+        now = time.monotonic()
+        req = _Request(int(seed), variant, fut, now,
+                       now + ttl if ttl is not None else None)
+        try:
+            self._q.put_nowait(req)
+        except queue.Full:
+            self.stats.add(shed=1)
+            raise ServerOverloaded(
+                f"queue full ({self._q.maxsize} pending)"
+            ) from None
         self.stats.add(requests=1)
         return fut
 
-    def sample_sync(self, seed: int, timeout: Optional[float] = None):
-        return self.submit(seed).result(timeout=timeout)
+    def sample_sync(self, seed: int, timeout: Optional[float] = None,
+                    variant: object = None):
+        return self.submit(seed, variant=variant).result(timeout=timeout)
 
     # -- worker --------------------------------------------------------------
-    def _take_group(self) -> Tuple[_Request, ...]:
-        """Block for the first request, then gather more until the
-        largest bucket is filled or the oldest request times out."""
-        try:
-            first = self._q.get(timeout=0.1)
-        except queue.Empty:
-            return ()
-        group = [first]
-        deadline = first.enqueued_at + self.max_wait
-        while len(group) < self.buckets[-1]:
-            remaining = deadline - time.monotonic()
-            if remaining <= 0:
-                break
+    def _reap(self, reqs) -> list:
+        """Drop expired/cancelled requests; return the live ones.
+
+        A request that survives is "claimed" (its future moves to
+        RUNNING, so client cancel() can no longer race the dispatch);
+        claimed requests left over from a previous oversize group are
+        not re-claimed, but their TTL still applies while they wait.
+        """
+        now = time.monotonic()
+        live = []
+        for r in reqs:
+            if r.deadline is not None and now > r.deadline:
+                try:
+                    r.future.set_exception(
+                        TimeoutError("request expired in queue (ttl)")
+                    )
+                    self.stats.add(expired=1)
+                except InvalidStateError:  # client cancelled it first
+                    self.stats.add(cancelled=1)
+                continue
+            if not r.claimed:
+                if not r.future.set_running_or_notify_cancel():
+                    self.stats.add(cancelled=1)
+                    continue
+                r.claimed = True
+            live.append(r)
+        return live
+
+    def _take_group(self, pending: Dict[object, list]) -> object:
+        """Pull requests into per-variant pending lists until some
+        variant is dispatchable (full top bucket, or its oldest request
+        has waited max_wait). Returns the variant key to dispatch, or
+        _NO_WORK (idle poll — a variant key itself may be None)."""
+        top = self.buckets[-1]
+        while True:
+            # dispatch when: some variant fills the top bucket, or the
+            # globally-oldest request has waited max_wait
+            ready = None
+            oldest_deadline = None
+            for v, reqs in pending.items():
+                if not reqs:
+                    continue
+                if len(reqs) >= top:
+                    return v
+                d = reqs[0].enqueued_at + self.max_wait
+                if oldest_deadline is None or d < oldest_deadline:
+                    oldest_deadline, ready = d, v
+            now = time.monotonic()
+            if oldest_deadline is not None and now >= oldest_deadline:
+                return ready
+            timeout = (
+                min(oldest_deadline - now, 0.1)
+                if oldest_deadline is not None else 0.1
+            )
             try:
-                group.append(self._q.get(timeout=remaining))
+                r = self._q.get(timeout=timeout)
+                pending.setdefault(r.variant, []).append(r)
             except queue.Empty:
-                break
-        return tuple(group)
+                if oldest_deadline is None:
+                    return _NO_WORK  # idle; let _run re-check stop flag
 
     def _bucket_for(self, n: int) -> int:
         """Smallest bucket >= n, else the largest bucket."""
@@ -155,27 +335,37 @@ class SamplerServer:
         return self.buckets[-1]
 
     def _run(self) -> None:
-        pending: list = []
-        while not self._stop.is_set() or pending or not self._q.empty():
-            if not pending:
-                pending = list(self._take_group())
-                if not pending:
-                    if self._stop.is_set():
-                        break
-                    continue
-            bucket = self._bucket_for(len(pending))
-            group, pending = pending[:bucket], pending[bucket:]
+        pending: Dict[object, list] = {}
+        while True:
+            have_pending = any(pending.values())
+            if self._stop.is_set() and not have_pending and self._q.empty():
+                break
+            variant = self._take_group(pending)
+            if variant is _NO_WORK:
+                continue
+            reqs = self._reap(pending[variant])
+            if not reqs:
+                pending[variant] = []
+                continue
+            bucket = self._bucket_for(len(reqs))
+            group, pending[variant] = reqs[:bucket], reqs[bucket:]
             pad = bucket - len(group)
+            dispatch_at = time.monotonic()
             seeds = [r.seed for r in group] + [0] * pad
             try:
                 keys = jax.numpy.stack(
                     [jax.random.PRNGKey(s) for s in seeds]
                 )
-                imgs = np.asarray(self._sample(keys, bucket))
+                imgs = np.asarray(self._pipelines[variant](keys, bucket))
                 self.stats.add(batches=1, images=len(group),
                                padded_images=pad)
+                done = time.monotonic()
                 for r, img in zip(group, imgs):
                     r.future.set_result(img)
+                    self.stats.observe(
+                        (done - r.enqueued_at) * 1e3,
+                        (dispatch_at - r.enqueued_at) * 1e3,
+                    )
             except Exception as e:  # pragma: no cover - propagate to callers
                 for r in group:
                     r.future.set_exception(e)

@@ -1,12 +1,16 @@
 """Serving layer (serving.py + cli/serve.py): dynamic batching,
-per-seed determinism independent of batch composition, HTTP surface."""
+per-seed determinism independent of batch composition, HTTP surface,
+and the hardening behaviors (multi-size variants, load shedding,
+request TTL, cancellation, latency histograms)."""
 import threading
+import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
-from ldm_image_generator_tpu.serving import SamplerServer
+from ldm_image_generator_tpu.serving import SamplerServer, ServerOverloaded
 
 
 def make_tiny_sample():
@@ -73,6 +77,114 @@ def test_server_propagates_errors():
         except RuntimeError:
             raised = True
     assert raised
+
+
+def test_server_multi_variant_routing():
+    """One server, two image sizes: requests batch only with their own
+    size and both variants resolve with their own shape."""
+    def make(size):
+        def fn(keys, batch):
+            imgs = jax.vmap(
+                lambda k: jax.random.uniform(k, (size, size, 3),
+                                             maxval=255.0)
+            )(keys)
+            return imgs.astype(jnp.uint8)
+        return fn
+
+    srv = SamplerServer({8: make(8), 16: make(16)},
+                        batch_buckets=(1, 2, 4), max_wait_ms=30)
+    with srv:
+        futs8 = [srv.submit(i, variant=8) for i in range(3)]
+        futs16 = [srv.submit(i, variant=16) for i in range(3)]
+        i8 = [f.result(timeout=30) for f in futs8]
+        i16 = [f.result(timeout=30) for f in futs16]
+    assert all(i.shape == (8, 8, 3) for i in i8)
+    assert all(i.shape == (16, 16, 3) for i in i16)
+    # default variant is the first key; unknown variants are rejected
+    with pytest.raises(KeyError):
+        srv.submit(0, variant=32)
+
+
+def test_server_sheds_load_when_queue_full():
+    release = threading.Event()
+
+    def slow(keys, batch):
+        release.wait(timeout=30)
+        return jnp.zeros((batch, 8, 8, 3), jnp.uint8)
+
+    srv = SamplerServer(slow, batch_buckets=(1,), max_wait_ms=1,
+                        max_queue=2)
+    with srv:
+        first = srv.submit(0)
+        time.sleep(0.2)  # worker dequeues it and blocks in slow()
+        futs = [first] + [srv.submit(i) for i in (1, 2)]  # fill the queue
+        with pytest.raises(ServerOverloaded):
+            for i in range(8):  # worker may have drained one more
+                srv.submit(100 + i)
+        assert srv.stats.shed >= 1
+        release.set()
+        for f in futs:
+            assert f.result(timeout=30).shape == (8, 8, 3)
+
+
+def test_server_ttl_expires_queued_requests():
+    release = threading.Event()
+    calls = []
+
+    def slow(keys, batch):
+        calls.append(batch)
+        release.wait(timeout=30)
+        return jnp.zeros((batch, 8, 8, 3), jnp.uint8)
+
+    srv = SamplerServer(slow, batch_buckets=(1,), max_wait_ms=1,
+                        default_ttl_s=0.15)
+    with srv:
+        first = srv.submit(0)            # occupies the worker
+        time.sleep(0.05)
+        stuck = srv.submit(1)            # queued behind it, will expire
+        time.sleep(0.3)                  # > ttl while worker is blocked
+        release.set()
+        assert first.result(timeout=30).shape == (8, 8, 3)
+        with pytest.raises(TimeoutError):
+            stuck.result(timeout=30)
+    assert srv.stats.expired == 1
+    # the expired request never burned a batch
+    assert len(calls) == 1
+
+
+def test_server_cancelled_future_skipped():
+    release = threading.Event()
+    seen = []
+
+    def slow(keys, batch):
+        seen.append(np.asarray(keys)[:, 1].tolist())
+        release.wait(timeout=30)
+        return jnp.zeros((batch, 8, 8, 3), jnp.uint8)
+
+    srv = SamplerServer(slow, batch_buckets=(1,), max_wait_ms=1)
+    with srv:
+        first = srv.submit(0)
+        time.sleep(0.05)
+        doomed = srv.submit(7)
+        assert doomed.cancel()           # still queued -> cancellable
+        release.set()
+        assert first.result(timeout=30).shape == (8, 8, 3)
+    assert srv.stats.cancelled == 1
+    assert all(7 not in s for s in seen)
+
+
+def test_server_stats_snapshot_and_histogram():
+    srv = SamplerServer(make_tiny_sample(), batch_buckets=(1, 2, 4),
+                        max_wait_ms=5)
+    with srv:
+        futs = [srv.submit(i) for i in range(5)]
+        [f.result(timeout=30) for f in futs]
+    snap = srv.stats.snapshot()
+    assert snap["requests"] == 5 and snap["images"] == 5
+    assert snap["latency"]["count"] == 5
+    assert snap["latency"]["p50_ms"] <= snap["latency"]["p99_ms"]
+    assert sum(snap["latency"]["buckets"].values()) == 5
+    assert snap["queue_wait"]["count"] == 5
 
 
 def test_http_surface_end_to_end():
