@@ -29,8 +29,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-bm", "--batch_multiply", default=1, type=int)
     p.add_argument("--save-every", default=300, type=int)
     p.add_argument("--ckpt-dir", default=None)
-    p.add_argument("--config", default="default", choices=["default", "tiny"],
-                   help="model size preset (tiny = test/debug scale)")
+    p.add_argument("--config", default="default",
+                   choices=["default", "tiny", "tiny-deep"],
+                   help="model size preset (tiny = test/debug scale; "
+                        "tiny-deep = tiny with a pipelinable deep stack)")
     p.add_argument("--num-classes", default=0, type=int,
                    help="class-conditional training: each positional "
                         "dataset dir is one class (-1 = one class per "
@@ -38,6 +40,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cond-drop", default=0.1, type=float,
                    help="probability of training on the null class "
                         "(the CFG unconditional branch)")
+    p.add_argument("--pipeline-stages", default=0, type=int,
+                   help="GPipe pipeline parallelism: shard the UNet's "
+                        "deep homogeneous stacks over this many mesh "
+                        "stages (devices = stages * data shards); 0 = "
+                        "off (pure data parallel)")
+    p.add_argument("--pipeline-microbatches", default=0, type=int,
+                   help="microbatches per pipelined step (default: "
+                        "= --pipeline-stages)")
     from ldm_image_generator_tpu.cli.common import add_diffusion_args
 
     add_diffusion_args(p, train=True)
@@ -82,6 +92,8 @@ def main(argv=None):
     ucfg = UNetConfig()
     if args.config == "tiny":
         vcfg, ucfg = vcfg.tiny(), ucfg.tiny()
+    elif args.config == "tiny-deep":
+        vcfg, ucfg = vcfg.tiny(), ucfg.tiny_deep()
     num_classes = args.num_classes
     if num_classes == -1:
         num_classes = len(args.dataset_path)
@@ -148,21 +160,60 @@ def main(argv=None):
             state = restored
             print(f"Resumed from step {int(state.step)}")
 
+    n_dev = len(jax.devices())
+    sharding = None
+    apply_fn = None
+    if args.pipeline_stages > 1:
+        # ('stage', 'data') mesh: depth pipelined over 'stage', batch
+        # sharded over 'data' (parallel/pipelined_unet.py)
+        import numpy as np
+
+        from ldm_image_generator_tpu.parallel.pipelined_unet import (
+            pipelined_unet_apply,
+        )
+
+        s = args.pipeline_stages
+        if n_dev % s != 0:
+            raise SystemExit(
+                f"--pipeline-stages {s} must divide device count {n_dev}"
+            )
+        mb = args.pipeline_microbatches or s
+        if args.batch % mb:
+            raise SystemExit(
+                f"batch {args.batch} must split into {mb} microbatches"
+            )
+        # data-parallel width: the largest divisor of the available
+        # devices-per-stage that also divides the per-microbatch batch
+        dp = n_dev // s
+        while dp > 1 and (args.batch // mb) % dp:
+            dp -= 1
+        pmesh = jax.sharding.Mesh(
+            np.asarray(jax.devices()[: s * dp]).reshape(s, dp),
+            ("stage", "data"),
+        )
+
+        def apply_fn(params, x_t, t, cond, det, rngs):
+            return pipelined_unet_apply(
+                ucfg, params, x_t, t, pmesh, cond=cond, rngs=rngs,
+                deterministic=det, dtype=dtype, num_microbatches=mb,
+            )
+
+        print(f"pipeline-parallel: {s} stages x {dp} data shards, "
+              f"{mb} microbatches")
+    elif n_dev > 1 and args.batch % n_dev == 0:
+        mesh = make_mesh(n_dev)
+        sharding = batch_sharding(mesh, 4)
+        print(f"data-parallel over {n_dev} devices")
+
     step_fn = jax.jit(
         make_ldm_train_step(
             unet, schedule, tx, prediction=args.prediction,
             ema_decay=args.ema if args.ema > 0 else None,
             num_classes=num_classes, cond_drop=args.cond_drop,
+            apply_fn=apply_fn,
         ),
         donate_argnums=(0,),
     )
-
-    n_dev = len(jax.devices())
-    sharding = None
-    if n_dev > 1 and args.batch % n_dev == 0:
-        mesh = make_mesh(n_dev)
-        sharding = batch_sharding(mesh, 4)
-        print(f"data-parallel over {n_dev} devices")
 
     loader = BatchLoader(ds, args.batch, sharding=sharding,
                          with_labels=num_classes > 0)

@@ -74,25 +74,39 @@ def stack_stage_params(param_trees) -> Any:
 
 
 def pipeline_apply(
-    block_fn: Callable[[Any, jnp.ndarray], jnp.ndarray],
+    block_fn: Callable[[Any, Any], Any],
     stage_params: Any,
-    x: jnp.ndarray,
+    x: Any,
     mesh: Mesh,
     num_microbatches: Optional[int] = None,
     axis: str = "stage",
-) -> jnp.ndarray:
+    data_axis: Optional[str] = None,
+) -> Any:
     """Run x through S pipelined stages; equals the sequential
     composition block_fn(p[S-1], ... block_fn(p[0], x)).
 
-    block_fn(params_slice, x_mb) -> y_mb must be shape-preserving.
-    stage_params: pytree with leading axis S (stack_stage_params).
-    x: [B, ...]; B must divide into num_microbatches (default S).
+    block_fn(params_slice, x_mb) -> y_mb must preserve the stream's
+    pytree structure and leaf shapes. x may be a single [B, ...] array
+    or a pytree of them (e.g. (latents, timesteps) — pass-through
+    leaves let per-sample conditioning ride the pipeline with the
+    activations). stage_params: pytree with leading axis S
+    (stack_stage_params). B must divide into num_microbatches
+    (default S).
+
+    data_axis: name of a mesh axis the batch dim is sharded over, for
+    combined ('stage', 'data') meshes — pipeline parallelism along
+    'stage', plain data parallelism along 'data'. Every stream leaf
+    must then have ndim >= 2 ([B, ...] with a real feature dim).
     """
     s = mesh.shape[axis]
     m = num_microbatches or s
-    b = x.shape[0]
+    leaves = jax.tree.leaves(x)
+    b = leaves[0].shape[0]
+    assert all(lf.shape[0] == b for lf in leaves), "stream leaves must share B"
     assert b % m == 0, f"batch {b} not divisible into {m} microbatches"
-    x_mb = x.reshape((m, b // m) + x.shape[1:])
+    x_mb = jax.tree.map(
+        lambda a: a.reshape((m, b // m) + a.shape[1:]), x
+    )
 
     def run(params_slice, x_mb):
         params_slice = jax.tree.map(lambda p: p[0], params_slice)
@@ -103,36 +117,55 @@ def pipeline_apply(
             state, outputs = carry
             # receive the upstream stage's previous output (stage 0
             # receives nothing; it reads the next microbatch instead)
-            recv = jax.lax.ppermute(state, axis, fwd) if s > 1 else state
-            inp = jnp.where(sid == 0, x_mb[jnp.clip(t, 0, m - 1)], recv)
+            recv = (
+                jax.tree.map(lambda a: jax.lax.ppermute(a, axis, fwd), state)
+                if s > 1 else state
+            )
+            mb = jnp.clip(t, 0, m - 1)
+            inp = jax.tree.map(
+                lambda xm, r: jnp.where(sid == 0, xm[mb], r), x_mb, recv
+            )
             out = block_fn(params_slice, inp)
             # the last stage emits microbatch t-(S-1) on ticks >= S-1
             oidx = t - (s - 1)
-            upd = jax.lax.dynamic_update_slice(
-                outputs, out[None],
-                (jnp.maximum(oidx, 0),) + (0,) * out.ndim,
-            )
-            outputs = jnp.where((sid == s - 1) & (oidx >= 0), upd, outputs)
+
+            def upd(outs, o):
+                u = jax.lax.dynamic_update_slice(
+                    outs, o[None],
+                    (jnp.maximum(oidx, 0),) + (0,) * o.ndim,
+                )
+                return jnp.where((sid == s - 1) & (oidx >= 0), u, outs)
+
+            outputs = jax.tree.map(upd, outputs, out)
             return (out, outputs), None
 
-        init = (jnp.zeros_like(x_mb[0]), jnp.zeros_like(x_mb))
+        init = (
+            jax.tree.map(lambda a: jnp.zeros_like(a[0]), x_mb),
+            jax.tree.map(jnp.zeros_like, x_mb),
+        )
         (state, outputs), _ = jax.lax.scan(
             tick, init, jnp.arange(m + s - 1)
         )
         # replicate the last stage's outputs to every stage
-        return jax.lax.psum(
-            jnp.where(sid == s - 1, outputs, jnp.zeros_like(outputs)), axis
+        return jax.tree.map(
+            lambda o: jax.lax.psum(
+                jnp.where(sid == s - 1, o, jnp.zeros_like(o)), axis
+            ),
+            outputs,
         )
 
+    stream_spec = P(None, data_axis) if data_axis else P()
     out_mb = _shmap(
-        run, mesh, in_specs=(P(axis), P()), out_specs=P()
+        run, mesh, in_specs=(P(axis), stream_spec), out_specs=stream_spec
     )(stage_params, x_mb)
-    return out_mb.reshape(x.shape)
+    return jax.tree.map(
+        lambda o, orig: o.reshape(orig.shape), out_mb, x
+    )
 
 
-def sequential_apply(block_fn, stage_params, x) -> jnp.ndarray:
+def sequential_apply(block_fn, stage_params, x) -> Any:
     """Reference semantics of pipeline_apply (for tests / single device)."""
     s = jax.tree.leaves(stage_params)[0].shape[0]
     for i in range(s):
-        x = block_fn(jax.tree.map(lambda p: p[i], stage_params), x)
+        x = block_fn(jax.tree.map(lambda p, i=i: p[i], stage_params), x)
     return x

@@ -159,8 +159,15 @@ def make_ldm_train_step(
     ema_decay: "float | None" = None,
     num_classes: int = 0,
     cond_drop: float = 0.1,
+    apply_fn: "Callable | None" = None,
 ) -> Callable:
     """Returns step(state, latents, key, labels=None) -> (state, metrics).
+
+    apply_fn: optional replacement for unet.apply with signature
+    (params, x_t, t, cond, deterministic, rngs) -> eps — used by the
+    pipeline-parallel mode (parallel/pipelined_unet.pipelined_unet_apply
+    partial) to run the forward through the GPipe schedule while the
+    loss/optimizer/EMA plumbing stays identical.
 
     Works for both latent diffusion (train_ldm.py) and pixel-space DDPM
     (train_ddpm.py) — the input is whatever space the UNet denoises.
@@ -190,13 +197,19 @@ def make_ldm_train_step(
         def loss_fn(params):
             def denoise(x_t, t, k):
                 k_moe, k_sd = jax.random.split(k)
+                rngs = {"moe": k_moe, "sd": k_sd}
+                if apply_fn is not None:
+                    return apply_fn(
+                        params, x_t, t, cond,
+                        not stochastic_depth, rngs,
+                    ).astype(jnp.float32)
                 return unet.apply(
                     params,
                     x_t,
                     t,
                     cond,
                     deterministic=not stochastic_depth,
-                    rngs={"moe": k_moe, "sd": k_sd},
+                    rngs=rngs,
                 ).astype(jnp.float32)
 
             return ddpm_loss(denoise, schedule, x, key, loss=loss,
