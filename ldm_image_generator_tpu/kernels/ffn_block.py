@@ -221,6 +221,13 @@ def ffn_block_pallas(x, film_mul, film_bias, gwa, gba, gwb, gbb, gwc, gbc,
     m = wa.shape[-1]
     e = wa.shape[0]
     tm, mk, _ = _pick_tiles(n, c, m)
+    if not tile_rows or not hidden_chunk:
+        # LDM_FFN_TM / LDM_FFN_MK: tuning-sweep overrides (same pattern
+        # as window_attention's LDM_ATTN_TN; benchmarks/attn_inmodel.py)
+        import os
+
+        tile_rows = tile_rows or int(os.environ.get("LDM_FFN_TM", "0"))
+        hidden_chunk = hidden_chunk or int(os.environ.get("LDM_FFN_MK", "0"))
     if tile_rows:
         tm = min(tile_rows, n)
     if hidden_chunk and m % hidden_chunk == 0:

@@ -18,17 +18,23 @@ Training: fused_window_mha carries a custom VJP whose backward pass is
 the XLA reference implementation's VJP (forward recompute) — gradients
 flow, and the backward matmuls are plain XLA.
 
-Status (round 2, measured per production shape at b64): WINS where the
-per-head loop is short relative to the saved HBM traffic — 4-head
-36-token windows (2.21 vs 3.62 ms, -39%) and <=16-token full-map
-attention at 32 heads (0.25 vs 0.39 ms, -36%); ties at 8 heads and
-loses ~12% at 16-head 36-token windows. The default 'auto' backend
-(models/layers.MultiHeadAttention) engages it exactly in the winning
-regimes. Scaling limit: Mosaic's tpu.matmul takes one batch dim, so
-heads loop statically over small [TN, L, L] matmuls; both the
-(TN*H)-batching 4-D transpose and a head-folding block-masked joint
-matmul (exact in interpret mode) crash this environment's Mosaic
-compiler.
+Status (round 3): engaged on every self-attention stage by the 'auto'
+backend (models/layers.MultiHeadAttention) — measured in-model
+(benchmarks/attn_inmodel.py, full default UNet denoise b64/t64) at
+17.0 ms vs 22.4 ms XLA-everywhere. Round-3 kernel scheme:
+- the q/k/v projections run as ONE [C, 3C] matmul (3x the N dim of
+  three separate C x C matmuls; fewer dispatches, better MXU tiling);
+- heads fold in groups of f into a block-diagonal joint matmul
+  [TN, f*L, f*d] (Mosaic's tpu.matmul takes one batch dim, so unfolded
+  heads would loop statically over tiny [TN, L, L] matmuls at <10% MXU
+  utilization; the (TN*H)-batching 4-D transpose crashes this
+  environment's Mosaic compiler — benchmarks/mosaic_repro.py). Folding
+  inflates the score/value matmul FLOPs by f^2, so the measured
+  optimum is small: f=2 at 36-token windows, f=8 at <=16-token
+  full-map stages (see MultiHeadAttention for the sweep numbers);
+- only k and v tiles carry the block-diagonal 0/1 mask; q tiles ride
+  unmasked (the -inf additive score mask already isolates the diagonal
+  blocks), saving one [TN, f*L, f*d] VPU multiply per group.
 """
 from __future__ import annotations
 
@@ -75,20 +81,22 @@ def _make_kernel(num_heads: int, tn: int, l: int, c: int, out_dtype,
     scale = 1.0 / float(d) ** 0.5
     groups = _fold_groups(num_heads, fold)
 
-    def kernel(x_ref, bias_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref,
-               bv_ref, wo_ref, bo_ref, out_ref):
+    def kernel(x_ref, bias_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, out_ref):
         x = x_ref[:].reshape(tn * l, c)
 
         def dot(a, w_ref, b_ref):
             y = jax.lax.dot_general(
                 a, w_ref[:], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ) + b_ref[:].astype(jnp.float32)  # b_ref: [1, C]
+            ) + b_ref[:].astype(jnp.float32)  # b_ref: [1, D]
             return y.astype(x.dtype)
 
-        q = dot(x, wq_ref, bq_ref).reshape(tn, l, c)
-        k = dot(x, wk_ref, bk_ref).reshape(tn, l, c)
-        v = dot(x, wv_ref, bv_ref).reshape(tn, l, c)
+        # single [C, 3C] projection: one MXU op at 3x the N dim instead
+        # of three C x C matmuls (fewer dispatches, better tiling)
+        qkv = dot(x, wqkv_ref, bqkv_ref)
+        q = qkv[:, 0 * c:1 * c].reshape(tn, l, c)
+        k = qkv[:, 1 * c:2 * c].reshape(tn, l, c)
+        v = qkv[:, 2 * c:3 * c].reshape(tn, l, c)
         bias = bias_ref[:]  # [TN, L]
 
         # Mosaic's tpu.matmul supports a single batch dim. fold == 1:
@@ -141,8 +149,13 @@ def _make_kernel(num_heads: int, tn: int, l: int, c: int, out_dtype,
             blk_c = jnp.where(rb == cb, jnp.float32(0.0),
                               jnp.float32(NEG_INF))
 
+            # q tiles UNMASKED: with kt masked to feature block j, the
+            # score at (row block i, col block j) contracts only head
+            # j's features regardless of i — the -inf blk_c then keeps
+            # exactly the diagonal i == j, so masking q too would be
+            # redundant work (one [TN, fL, fd] VPU multiply saved).
             tile = lambda a: jnp.concatenate([a] * f, axis=1)
-            qt = tile(qg) * diag_c
+            qt = tile(qg)
             kt = tile(kg) * diag_c
             vt = tile(vg) * diag_c
             scores = jax.lax.dot_general(
@@ -200,10 +213,12 @@ def window_mha_pallas(x, mask, wq, bq, wk, bk, wv, bv, wo, bo,
         bias = jnp.pad(bias, ((0, n_pad), (0, 0)))
     nt = (n + n_pad) // tn
 
-    b2 = lambda: pl.BlockSpec((1, c), lambda i: (0, 0),
-                              memory_space=pltpu.VMEM)
-    w2 = lambda: pl.BlockSpec((c, c), lambda i: (0, 0),
-                              memory_space=pltpu.VMEM)
+    # one [C, 3C] projection operand; the concat is loop-invariant in a
+    # sampling scan (XLA hoists it) and trivial traffic elsewhere
+    wqkv = jnp.concatenate([wq, wk, wv], axis=1)
+    bqkv = jnp.concatenate(
+        [bq.reshape(1, c), bk.reshape(1, c), bv.reshape(1, c)], axis=1
+    )
     out = pl.pallas_call(
         _make_kernel(num_heads, tn, l, c, x.dtype, fold=fold),
         out_shape=jax.ShapeDtypeStruct((n + n_pad, l, c), x.dtype),
@@ -213,16 +228,19 @@ def window_mha_pallas(x, mask, wq, bq, wk, bk, wv, bv, wo, bo,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tn, l), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            w2(), b2(), w2(), b2(), w2(), b2(), w2(), b2(),
+            pl.BlockSpec((c, 3 * c), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * c), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, c), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tn, l, c), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(
-        x, bias,
-        wq, bq.reshape(1, c), wk, bk.reshape(1, c),
-        wv, bv.reshape(1, c), wo, bo.reshape(1, c),
-    )
+    )(x, bias, wqkv, bqkv, wo, bo.reshape(1, c))
     return out[:n]
 
 

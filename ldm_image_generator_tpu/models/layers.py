@@ -107,14 +107,22 @@ class MultiHeadAttention(nn.Module):
             )
 
             x_in = q_in.astype(dt)
-            # head-fold factor, measured per production shape at b64
-            # (benchmarks/attn_fold.py): fold=4 at <=4 heads
-            # (2.04 vs 2.27 ms unfolded, 3.76 XLA at dec0) and fold=8 on
-            # short (<=16-token) full-map sequences (0.99 vs 1.16 XLA at
-            # dec3); the 8/16-head 36-token stages stay on XLA via the
-            # use_fused gate (fold=4 closed most of the per-head-loop gap
-            # there — 1.49/1.53 vs 1.43/1.38 XLA — but still loses).
-            fold = min(8, h) if x_in.shape[1] <= 16 else min(4, h)
+            # head-fold factor, measured IN-MODEL at b64/t64 (full
+            # default UNet denoise, benchmarks/attn_inmodel.py sweep over
+            # LDM_ATTN_FOLD_WIN x LDM_ATTN_FOLD_SHORT with the round-3
+            # single-QKV-matmul kernel): 36-token windows fold=2 17.03 ms
+            # vs fold=1 17.87 / fold=4 17.24 / fold=8 18.52 — the joint
+            # matmul's f^2 FLOP inflation overtakes its MXU-utilization
+            # gain above f=2; short (<=16-token) full-map sequences keep
+            # fold=8 (fs=4 19.15, fs=16 17.63). Env vars override for
+            # tuning sweeps.
+            import os
+
+            f_short = int(os.environ.get("LDM_ATTN_FOLD_SHORT", "0")) or 8
+            f_win = int(os.environ.get("LDM_ATTN_FOLD_WIN", "0")) or 2
+            fold = (
+                min(f_short, h) if x_in.shape[1] <= 16 else min(f_win, h)
+            )
             sig = (x_in.shape, jnp.dtype(x_in.dtype).name,
                    key_padding_mask is not None, h, fold)
             thunk = lambda: window_mha_pallas.lower(
