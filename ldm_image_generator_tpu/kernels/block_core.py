@@ -203,6 +203,138 @@ def _kernel(eps, out_dtype, bt, hh, ww, c, gb, film_b1, add_residual,
     return kernel
 
 
+def _row_kernel(eps, out_dtype, th, w, c, gb, nr, film_b1, add_residual,
+                quantized=False):
+    """Row-banded variant: each grid step holds a [th, W, C] horizontal
+    band; the 3x3 conv's one-row halo comes from NEIGHBOR-indexed block
+    refs of the same x/film arrays (up/down bands, clamped at the image
+    edge and zeroed in-kernel to match SAME padding). Bands' h halo rows
+    are recomputed locally (norm+FiLM are row-local), so no cross-band
+    communication exists and the band grid parallelizes freely."""
+    rows = th * w
+
+    def kernel(sidx, x_ref, xu_ref, xd_ref, mul_ref, mu_ref, md_ref,
+               bias_ref, bu_ref, bd_ref,
+               gwa, gba, gwb, gbb, gwc, gbc,
+               wa1, ba1, wb1, bb1, wc1, bc1,
+               wa2, ba2, wb2, bb2, wc2, bc2,
+               wconv, bconv,
+               out_ref, h_ref, acc_ref):
+        from jax.experimental import pallas as pl
+
+        k = pl.program_id(1)
+        nk = pl.num_programs(1)
+        ri = pl.program_id(0) % nr
+
+        def sb2(ref):
+            v = ref[:].reshape(2, ref.shape[-1])
+            return v[0:1, :], v[1:2, :]
+
+        def bias_of(ref):
+            if quantized:
+                return sb2(ref)[1]
+            return ref[:].reshape(1, -1).astype(jnp.float32)
+
+        def norm_film(x2, mul2, bia2):
+            """x2/mul2/bia2: [rows', C] fp32 -> h rows."""
+            mean = jnp.mean(x2, axis=-1, keepdims=True)
+            var = jnp.var(x2, axis=-1, keepdims=True, ddof=1)
+            hn = (x2 - mean) * jax.lax.rsqrt(var + eps)
+            return (hn * mul2 + bia2).astype(out_dtype)
+
+        @pl.when(k == 0)
+        def _init():
+            film = lambda ref, r0, r1: (
+                ref[:].astype(jnp.float32)[0, r0:r1].reshape(-1, c)
+            )
+            h = norm_film(
+                x_ref[:].astype(jnp.float32).reshape(rows, c),
+                film(mul_ref, 0, th), film(bias_ref, 0, th),
+            )
+            h_ref[:] = h.reshape(1, th, w, c)
+
+            # halo rows: last row of the band above, first row of the
+            # band below (refs are edge-clamped; zero them at the image
+            # boundary to reproduce SAME conv padding)
+            top = norm_film(
+                xu_ref[:].astype(jnp.float32)[0, th - 1].reshape(w, c),
+                film(mu_ref, th - 1, th), film(bu_ref, th - 1, th),
+            ) * jnp.where(ri == 0, 0.0, 1.0).astype(out_dtype)
+            bot = norm_film(
+                xd_ref[:].astype(jnp.float32)[0, 0].reshape(w, c),
+                film(md_ref, 0, 1), film(bd_ref, 0, 1),
+            ) * jnp.where(ri == nr - 1, 0.0, 1.0).astype(out_dtype)
+
+            hp = jnp.concatenate(
+                [top.reshape(1, w, c), h.reshape(th, w, c),
+                 bot.reshape(1, w, c)], axis=0,
+            )
+            hp = jnp.pad(hp, ((0, 0), (1, 1), (0, 0)))  # [th+2, W+2, C]
+            conv = jnp.zeros((rows, c), jnp.float32)
+            for ky in range(3):
+                for kx in range(3):
+                    sh = hp[ky:ky + th, kx:kx + w, :].reshape(rows, c)
+                    parts = []
+                    for g in range(gb):
+                        blk = wconv[(ky * 3 + kx) * gb + g]
+                        parts.append(jax.lax.dot_general(
+                            sh[:, g * 128:(g + 1) * 128], blk,
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        ))
+                    conv = conv + (
+                        parts[0] if gb == 1
+                        else jnp.concatenate(parts, axis=-1)
+                    )
+
+            base = conv + bconv[:].reshape(1, c).astype(jnp.float32) + (
+                bias_of(gbc) + bias_of(bc1) + bias_of(bc2)
+            )
+            if add_residual:
+                base = base + x_ref[:].astype(jnp.float32).reshape(rows, c)
+            acc_ref[:] = base
+
+        h = h_ref[:].reshape(rows, c)
+
+        def proj(x_, w_ref, b_ref):
+            w_ = w_ref[:].reshape(w_ref.shape[-2], w_ref.shape[-1])
+            y = jax.lax.dot_general(
+                x_, w_.astype(out_dtype) if quantized else w_,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if quantized:
+                scale, bias = sb2(b_ref)
+                return y * scale + bias
+            return y + b_ref[:].reshape(1, -1).astype(jnp.float32)
+
+        def reglu_chunk(wa_, ba_, wb_, bb_, wc_, bc_):
+            a = proj(h, wa_, ba_)
+            b = proj(h, wb_, bb_)
+            g = (a * jax.nn.relu(b)).astype(out_dtype)
+            w_ = wc_[:].reshape(wc_.shape[-2], wc_.shape[-1])
+            y = jax.lax.dot_general(
+                g, w_.astype(out_dtype) if quantized else w_,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if quantized:
+                y = y * sb2(bc_)[0]
+            return y
+
+        acc_ref[:] += (
+            reglu_chunk(gwa, gba, gwb, gbb, gwc, gbc)
+            + reglu_chunk(wa1, ba1, wb1, bb1, wc1, bc1)
+            + reglu_chunk(wa2, ba2, wb2, bb2, wc2, bc2)
+        )
+
+        @pl.when(k == nk - 1)
+        def _flush():
+            out_ref[:] = acc_ref[:].reshape(1, th, w, c).astype(out_dtype)
+
+    return kernel
+
+
 def _pick_tiles(b: int, hw: int, c: int, m: int, film_b1: bool):
     """(batch_tile, hidden_chunk, fits) against the 16MB scoped-VMEM
     limit, using a VERIFIED-ENVELOPE rule rather than an analytic
@@ -248,6 +380,35 @@ def _pick_tiles(b: int, hw: int, c: int, m: int, film_b1: bool):
     return bt, mk, fits
 
 
+def _pick_row_tile(hh: int, ww: int, c: int, m: int):
+    """(row_tile, hidden_chunk, fits) for the row-banded schedule
+    (bt = 1 per band): used when a whole image exceeds the VMEM
+    envelope. Same verified 90B/elem temporaries rule as _pick_tiles,
+    applied to a (th+2)-row band (the two halo rows live in VMEM during
+    the conv assembly). th must divide H so bands tile exactly."""
+    gb = c // 128
+    mk = m
+    target = 256 if m >= 512 else 128
+    if m % target == 0:
+        mk = min(mk, target)
+    weights = 9 * c * mk * 2 + 9 * gb * 128 * 128 * 2 * 2
+
+    def ok(th_):
+        return weights + (th_ + 2) * ww * c * 90 <= 14 * 1024 * 1024
+
+    import os
+
+    if os.environ.get("LDM_BC_NO_ROWS", "").strip() in ("1", "true"):
+        return 0, mk, False  # A/B gate (benchmarks/bc_rows_probe.py)
+    th = hh // 2  # whole image already failed; start from half
+    while th > 1 and (hh % th or not ok(th)):
+        th //= 2
+    fits = th >= 1 and hh % th == 0 and ok(th) and (
+        9 * c * mk * 2 <= 10 * 1024 * 1024
+    )
+    return th, mk, fits
+
+
 def block_core_supported(x_shape, hidden: int, group_width: int,
                          film_batch: int) -> bool:
     """Whether the megakernel is the right backend for this shape.
@@ -257,21 +418,27 @@ def block_core_supported(x_shape, hidden: int, group_width: int,
     latent-32 1.91 -> 1.72 ms/step; b1 latent-64 2.95 -> 2.30) — and
     loses at larger batches where XLA's batched grouped conv is already
     compute-efficient (b8 3.44 -> 3.67; b64 regressed). Larger batches
-    use the fused-FFN kernel + XLA conv instead."""
+    use the fused-FFN kernel + XLA conv instead. Shapes whose whole
+    image exceeds the VMEM envelope (latent-64 C>=256 stages) run the
+    row-banded schedule (_row_kernel) instead of falling back."""
     b, hh, ww, c = x_shape
-    return (
+    if not (
         jax.default_backend() in ("tpu", "axon")
         and b <= 2
         and c % 128 == 0
         and hidden % 128 == 0
         and 128 % group_width == 0
-        and _pick_tiles(b, hh * ww, c, hidden, film_batch == 1)[2]
-    )
+    ):
+        return False
+    if _pick_tiles(b, hh * ww, c, hidden, film_batch == 1)[2]:
+        return True
+    return _pick_row_tile(hh, ww, c, hidden)[2]
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("add_residual", "interpret", "batch_tile", "quantized"),
+    static_argnames=("add_residual", "interpret", "batch_tile", "quantized",
+                     "row_tile"),
 )
 def block_core_pallas(x, film_mul, film_bias,
                       gwa, gba, gwb, gbb, gwc, gbc,
@@ -280,7 +447,8 @@ def block_core_pallas(x, film_mul, film_bias,
                       add_residual: bool = True,
                       interpret: bool = False,
                       batch_tile: int = 0,
-                      quantized: bool = False):
+                      quantized: bool = False,
+                      row_tile: int = 0):
     """x: [B,H,W,C]; film_mul/bias: [1 or B, H, W, C]; conv_kernel:
     [3,3,gw,C]; expert_ids: int32 [2]. Returns (out, h), both [B,H,W,C].
 
@@ -297,7 +465,14 @@ def block_core_pallas(x, film_mul, film_bias,
     m = wa.shape[-1]
     e = wa.shape[0]
     film_b1 = film_mul.shape[0] == 1
-    bt, mk, _ = _pick_tiles(b, hh * ww, c, m, film_b1)
+    bt, mk, fits_whole = _pick_tiles(b, hh * ww, c, m, film_b1)
+    if not row_tile and not fits_whole and not batch_tile:
+        # whole images exceed the VMEM envelope: row-banded schedule
+        row_tile, mk, fits_rows = _pick_row_tile(hh, ww, c, m)
+        if not fits_rows:
+            row_tile = 0
+    if row_tile and hh % row_tile:
+        row_tile = 0
     if batch_tile:
         bt = batch_tile
     while b % bt:
@@ -320,6 +495,90 @@ def block_core_pallas(x, film_mul, film_bias,
         ba, bb = ba.reshape(e, 1, m), bb.reshape(e, 1, m)
         bc = bc.reshape(e, 1, c)
     br = 2 if quantized else 1
+
+    if row_tile:
+        th = row_tile
+        nr = hh // th
+        rb = lambda ridx: pl.BlockSpec(
+            (1, th, ww, c),
+            lambda i, k, s, _r=ridx: (i // nr, _r(i % nr), 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        fb = lambda ridx: pl.BlockSpec(
+            (1, th, ww, c),
+            (lambda i, k, s, _r=ridx: (0, _r(i % nr), 0, 0)) if film_b1
+            else (lambda i, k, s, _r=ridx: (i // nr, _r(i % nr), 0, 0)),
+            memory_space=pltpu.VMEM,
+        )
+        mid = lambda r: r
+        up = lambda r: jnp.maximum(r - 1, 0)
+        dn = lambda r: jnp.minimum(r + 1, nr - 1)
+        g_in_r = lambda: pl.BlockSpec((c, mk), lambda i, k, s: (0, k),
+                                      memory_space=pltpu.VMEM)
+        g_out_r = lambda: pl.BlockSpec((mk, c), lambda i, k, s: (k, 0),
+                                       memory_space=pltpu.VMEM)
+        gb_in_r = lambda: pl.BlockSpec((br, mk), lambda i, k, s: (0, k),
+                                       memory_space=pltpu.VMEM)
+        gb_out_r = lambda: pl.BlockSpec((br, c), lambda i, k, s: (0, 0),
+                                        memory_space=pltpu.VMEM)
+        e_in_r = lambda j: pl.BlockSpec(
+            (1, c, mk), lambda i, k, s: (s[j], 0, k),
+            memory_space=pltpu.VMEM)
+        e_out_r = lambda j: pl.BlockSpec(
+            (1, mk, c), lambda i, k, s: (s[j], k, 0),
+            memory_space=pltpu.VMEM)
+        eb_in_r = lambda j: pl.BlockSpec(
+            (1, br, mk), lambda i, k, s: (s[j], 0, k),
+            memory_space=pltpu.VMEM)
+        eb_out_r = lambda j: pl.BlockSpec(
+            (1, br, c), lambda i, k, s: (s[j], 0, 0),
+            memory_space=pltpu.VMEM)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b * nr, nk),
+            in_specs=[
+                rb(mid), rb(up), rb(dn), fb(mid), fb(up), fb(dn),
+                fb(mid), fb(up), fb(dn),
+                g_in_r(), gb_in_r(), g_in_r(), gb_in_r(), g_out_r(),
+                gb_out_r(),
+                e_in_r(0), eb_in_r(0), e_in_r(0), eb_in_r(0), e_out_r(0),
+                eb_out_r(0),
+                e_in_r(1), eb_in_r(1), e_in_r(1), eb_in_r(1), e_out_r(1),
+                eb_out_r(1),
+                pl.BlockSpec(wblk.shape, lambda i, k, s: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, c), lambda i, k, s: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, th, ww, c), lambda i, k, s:
+                             (i // nr, i % nr, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, th, ww, c), lambda i, k, s:
+                             (i // nr, i % nr, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[pltpu.VMEM((th * ww, c), jnp.float32)],
+        )
+        out, h = pl.pallas_call(
+            _row_kernel(1e-4, x.dtype, th, ww, c, gb, nr, film_b1,
+                        add_residual, quantized),
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((b, hh, ww, c), x.dtype),
+                jax.ShapeDtypeStruct((b, hh, ww, c), x.dtype),
+            ],
+            interpret=interpret,
+        )(
+            expert_ids.astype(jnp.int32),
+            x, x, x, film_mul, film_mul, film_mul,
+            film_bias, film_bias, film_bias,
+            gwa, gba, gwb, gbb, gwc, gbc,
+            wa, ba, wb, bb, wc, bc,
+            wa, ba, wb, bb, wc, bc,
+            wblk, conv_bias.reshape(1, c),
+        )
+        return out, h
 
     img = lambda: pl.BlockSpec((bt, hh, ww, c), lambda i, k, s: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM)

@@ -55,6 +55,55 @@ def test_block_core_kernel_matches_xla(b, hh, ww, c, m, film_b, res):
                                rtol=2e-4, atol=5e-4)
 
 
+@pytest.mark.parametrize(
+    "b,hh,ww,c,m,film_b,res,th",
+    [
+        (1, 8, 8, 128, 128, 1, True, 2),    # 4 bands: edge + middle halos
+        (2, 8, 8, 256, 256, None, True, 4),  # multi-group conv, batch film
+        (1, 6, 6, 128, 128, 1, False, 3),   # no residual, odd band size
+    ],
+)
+def test_block_core_row_banded_matches_xla(b, hh, ww, c, m, film_b, res, th):
+    """The row-banded schedule (conv halo via neighbor-indexed block
+    refs) must be exact vs the XLA reference, including the zeroed
+    halo at the top/bottom image edges."""
+    args = _setup(b=b, hh=hh, ww=ww, c=c, m=m, film_b=film_b)
+    ids = jnp.asarray([1, 3], jnp.int32)
+    ref_out, ref_h = block_core_xla(*args, 1, 3, add_residual=res)
+    out, h = block_core_pallas(*args, ids, add_residual=res,
+                               interpret=True, row_tile=th)
+    np.testing.assert_allclose(np.asarray(h), np.asarray(ref_h),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               rtol=2e-4, atol=5e-4)
+
+
+def test_block_core_row_banded_quantized_matches_fake_quant():
+    from ldm_image_generator_tpu.kernels.ffn_block import fake_quantize
+
+    args = _setup(b=1, hh=8, ww=8, c=128, m=128, film_b=1)
+    (x, mul, bias, gwa, gba, gwb, gbb, gwc, gbc,
+     wa, ba, wb, bb, wc, bc_, ck, cb) = args
+    ids = jnp.asarray([0, 2], jnp.int32)
+    qgwa, qgba = fake_quantize(gwa, gba)
+    qgwb, qgbb = fake_quantize(gwb, gbb)
+    qgwc, qgbc = fake_quantize(gwc, gbc)
+    qwa, qba = fake_quantize(wa, ba)
+    qwb, qbb = fake_quantize(wb, bb)
+    qwc, qbc = fake_quantize(wc, bc_)
+    ref_out, ref_h = block_core_xla(
+        x, mul, bias, qgwa, qgba, qgwb, qgbb, qgwc, qgbc,
+        qwa, qba, qwb, qbb, qwc, qbc, ck, cb, 0, 2, add_residual=True)
+    out, h = block_core_pallas(
+        x, mul, bias, gwa, gba, gwb, gbb, gwc, gbc,
+        wa, ba, wb, bb, wc, bc_, ck, cb, ids, add_residual=True,
+        interpret=True, quantized=True, row_tile=2)
+    np.testing.assert_allclose(np.asarray(h), np.asarray(ref_h),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               rtol=2e-3, atol=2e-3)
+
+
 def test_block_core_xla_matches_unfused_swinblock():
     """The XLA reference must equal the real SwinBlock composition
     (norm -> FiLM -> MoE + grouped conv -> +residual) with shared
