@@ -43,6 +43,19 @@ def build_parser() -> argparse.ArgumentParser:
                    help="generate this class (class-conditional models)")
     p.add_argument("--guidance-scale", default=1.0, type=float,
                    help="classifier-free guidance strength (1 = off)")
+    p.add_argument("--init-image", default=None,
+                   help="img2img: start from this image instead of pure "
+                        "noise (encoded by the VAE encoder, diffused to "
+                        "--strength of the schedule, then denoised)")
+    p.add_argument("-encp", "--encpath", default="./vae_encoder.pt",
+                   help="VAE encoder weights (img2img only)")
+    p.add_argument("--strength", default=0.6, type=float,
+                   help="img2img: fraction of the forward process applied "
+                        "to the init image (0..1; 1 = full generation)")
+    p.add_argument("--mask", default=None,
+                   help="inpainting: grayscale mask image — white regions "
+                        "are regenerated, black kept (requires "
+                        "--init-image and the ddim sampler)")
     from ldm_image_generator_tpu.cli.common import add_diffusion_args
 
     add_diffusion_args(p)
@@ -51,6 +64,8 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.mask is not None and args.init_image is None:
+        raise SystemExit("--mask requires --init-image")
     from ldm_image_generator_tpu.cli.common import maybe_load, save_image, setup_device
 
     setup_device(args.device, args)
@@ -92,12 +107,39 @@ def main(argv=None):
     condition = None
     if args.class_id is not None:
         condition = jnp.full((args.numimages,), args.class_id, jnp.int32)
-    imgs = pipe.sample(
-        unet_params, dec_params, key,
-        batch=args.numimages, image_size=args.size, num_steps=args.timesteps,
-        eta=args.eta, sampler=args.sampler,
-        condition=condition, guidance_scale=args.guidance_scale,
-    )
+    if args.init_image is not None:
+        from ldm_image_generator_tpu.data.dataset import preprocess_image
+
+        enc_params = pipe.encoder.init(
+            key, jnp.zeros((1, args.size, args.size, 3)))
+        enc_params = maybe_load(args.encpath, enc_params,
+                                lambda sd: ti.convert_encoder(sd, vcfg)
+                                ) or enc_params
+        init = jnp.asarray(preprocess_image(args.init_image, args.size))
+        init = jnp.tile(init[None], (args.numimages, 1, 1, 1))
+        mask = None
+        if args.mask is not None:
+            import numpy as np
+            from PIL import Image
+
+            m = Image.open(args.mask).convert("L").resize(
+                (args.size, args.size), Image.NEAREST)
+            mask = jnp.asarray(
+                np.asarray(m, dtype=np.float32)[None, :, :, None] / 255.0)
+            mask = jnp.tile(mask, (args.numimages, 1, 1, 1))
+        imgs = pipe.img2img(
+            unet_params, dec_params, enc_params, key, init,
+            strength=args.strength, num_steps=args.timesteps, eta=args.eta,
+            sampler=args.sampler, mask=mask,
+            condition=condition, guidance_scale=args.guidance_scale,
+        )
+    else:
+        imgs = pipe.sample(
+            unet_params, dec_params, key,
+            batch=args.numimages, image_size=args.size,
+            num_steps=args.timesteps, eta=args.eta, sampler=args.sampler,
+            condition=condition, guidance_scale=args.guidance_scale,
+        )
     imgs = jax.device_get(imgs)
     os.makedirs(args.outdir, exist_ok=True)
     for i in range(args.numimages):

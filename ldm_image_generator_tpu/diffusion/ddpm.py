@@ -181,6 +181,7 @@ def ddim_sample(
     dtype=jnp.float32,
     init_noise: Optional[jnp.ndarray] = None,
     prediction: str = "eps",
+    project_fn=None,
 ) -> jnp.ndarray:
     """DDIM reverse sampler as one lax.scan (ddpm.py:52-93, jitted whole).
 
@@ -189,6 +190,12 @@ def ddim_sample(
     indices, as the reference feeds TimeEncoding2d).
     init_noise overrides the internally drawn x_T (fidelity tests /
     reproducing a specific trajectory). Returns x0-space samples.
+    project_fn(x, t_next [] int32, final bool[], key) -> x, applied after
+    every update inside the scan: a constraint projection at the new
+    noise level t_next (`final` is True on the terminal t == 0 step,
+    where x is already in x0 space). Used for latent inpainting — the
+    known region is re-noised to t_next and blended in each step
+    (RePaint-style single-pass projection).
     """
     ts, ts_next = ddim_step_pairs(schedule.num_timesteps, num_steps, steps)
     ts = jnp.asarray(ts)
@@ -226,6 +233,9 @@ def ddim_sample(
             + sigma * noise
         )
         x = jnp.where(t == 0, x0, x_new).astype(dtype)  # ddpm.py:88-91
+        if project_fn is not None:
+            k, k_proj = jax.random.split(k)
+            x = project_fn(x, t_next, t == 0, k_proj).astype(dtype)
         return (x, k), None
 
     (x, _), _ = jax.lax.scan(body, (x, key), (ts, ts_next))

@@ -24,8 +24,9 @@ from ldm_image_generator_tpu.config import (
     VAEConfig,
 )
 from ldm_image_generator_tpu.diffusion import ddim_sample, make_schedule
+from ldm_image_generator_tpu.diffusion.ddpm import q_sample
 from ldm_image_generator_tpu.diffusion.dpm_solver import dpm_solver_sample
-from ldm_image_generator_tpu.models import Decoder, UNet
+from ldm_image_generator_tpu.models import Decoder, Encoder, UNet
 
 
 def cast_floating(tree, dtype):
@@ -110,10 +111,54 @@ class LDMPipeline:
     ):
         self.unet = UNet(unet_cfg, dtype=dtype)
         self.decoder = Decoder(vae_cfg, dtype=dtype)
+        self.encoder = Encoder(vae_cfg, dtype=dtype)  # img2img input path
         self.schedule = make_schedule(ddpm_cfg)
         self.prediction = ddpm_cfg.prediction
         self.unet_cfg = unet_cfg
         self.vae_cfg = vae_cfg
+
+    def _denoise_fn(self, unet_params, latent: int, num_steps: int,
+                    steps, film_cache: bool, condition, guidance_scale):
+        """Build the per-step denoise closure: FiLM-cached or plain UNet
+        apply, optionally wrapped in classifier-free guidance (shared by
+        `sample` and `img2img`)."""
+        if film_cache:
+            base = make_cached_denoise(
+                self.unet, unet_params, self.schedule.num_timesteps,
+                num_steps, (1, latent, latent, self.unet_cfg.input_channels),
+                steps=steps,
+            )
+        else:
+            def base(x, t_vec, k, condition=None):
+                return self.unet.apply(
+                    unet_params, x, t_vec, condition, deterministic=True,
+                    rngs={"moe": k},
+                ).astype(jnp.float32)
+
+        use_cfg = (
+            condition is not None
+            and guidance_scale != 1.0
+            and self.unet_cfg.num_classes > 0
+            and jnp.issubdtype(condition.dtype, jnp.integer)
+        )
+        if condition is None:
+            return base
+        if use_cfg:
+            null = jnp.full_like(condition, self.unet_cfg.num_classes)
+
+            def denoise(x, t_vec, k):
+                # same key both branches: identical MoE routing isolates
+                # the conditioning signal in the guidance delta
+                pred_c = base(x, t_vec, k, condition)
+                pred_u = base(x, t_vec, k, null)
+                return pred_u + guidance_scale * (pred_c - pred_u)
+
+            return denoise
+
+        def denoise(x, t_vec, k):
+            return base(x, t_vec, k, condition)
+
+        return denoise
 
     @functools.partial(jax.jit,
                        static_argnums=(0, 4, 5, 6, 7, 8, 9, 11, 13))
@@ -155,40 +200,10 @@ class LDMPipeline:
         unet_params = cast_floating(unet_params, self.unet.dtype)
         decoder_params = cast_floating(decoder_params, self.decoder.dtype)
 
-        if film_cache:
-            base = make_cached_denoise(
-                self.unet, unet_params, self.schedule.num_timesteps,
-                num_steps, (1, latent, latent, self.unet_cfg.input_channels),
-                steps=steps,
-            )
-        else:
-            def base(x, t_vec, k, condition=None):
-                return self.unet.apply(
-                    unet_params, x, t_vec, condition, deterministic=True,
-                    rngs={"moe": k},
-                ).astype(jnp.float32)
-
-        use_cfg = (
-            condition is not None
-            and guidance_scale != 1.0
-            and self.unet_cfg.num_classes > 0
-            and jnp.issubdtype(condition.dtype, jnp.integer)
+        denoise = self._denoise_fn(
+            unet_params, latent, num_steps, steps, film_cache,
+            condition, guidance_scale,
         )
-        if condition is None:
-            denoise = base
-        elif use_cfg:
-            null = jnp.full_like(condition, self.unet_cfg.num_classes)
-
-            def denoise(x, t_vec, k):
-                # same key both branches: identical MoE routing isolates
-                # the conditioning signal in the guidance delta
-                pred_c = base(x, t_vec, k, condition)
-                pred_u = base(x, t_vec, k, null)
-                return pred_u + guidance_scale * (pred_c - pred_u)
-
-        else:
-            def denoise(x, t_vec, k):
-                return base(x, t_vec, k, condition)
 
         if sampler == "dpm++2m":
             z = dpm_solver_sample(
@@ -201,6 +216,98 @@ class LDMPipeline:
                 denoise, self.schedule, key, shape, num_steps=num_steps,
                 eta=eta, prediction=self.prediction, init_noise=init_noise,
                 steps=steps,
+            )
+        img = self.decoder.apply(decoder_params, z)
+        return to_uint8(img)
+
+    @functools.partial(jax.jit,
+                       static_argnums=(0, 6, 7, 8, 9, 10, 13))
+    def img2img(
+        self,
+        unet_params,
+        decoder_params,
+        encoder_params,
+        key: jax.Array,
+        image: jnp.ndarray,
+        strength: float = 0.6,
+        num_steps: int = 20,
+        eta: float = 0.0,
+        sampler: str = "ddim",
+        film_cache: bool = True,
+        mask: Optional[jnp.ndarray] = None,
+        condition: Optional[jnp.ndarray] = None,
+        guidance_scale: float = 1.0,
+    ) -> jnp.ndarray:
+        """Image-to-image / inpainting (SDEdit, arXiv:2108.01073): encode
+        the input, diffuse it to t_start = strength * (T-1), then run the
+        reverse sampler over only the sub-schedule below t_start. A
+        capability the reference does not have (its sampler always starts
+        from pure noise, ddpm.py:62).
+
+        image: float NHWC in [-1, 1] (preprocess_image's range),
+        [batch, S, S, 3]. strength in (0, 1]: how much of the forward
+        process to apply — 1.0 is a full generation, small values stay
+        close to the input. Static (picks the step schedule).
+        mask: optional float [batch, S, S, 1] (pixel resolution; any
+        HxW — it is resized to the latent grid), 1 = regenerate,
+        0 = keep. Keeps the known region by projecting it to the current
+        noise level after every DDIM step and pasting the exact latent
+        on the terminal step (RePaint-style). Requires sampler='ddim'.
+
+        Returns uint8 images like `sample`.
+        """
+        if not 0.0 < strength <= 1.0:
+            raise ValueError(f"strength must be in (0, 1], got {strength}")
+        if mask is not None and sampler != "ddim":
+            raise ValueError("inpainting (mask=) requires sampler='ddim'")
+        T = self.schedule.num_timesteps
+        t_start = max(1, int(round(strength * (T - 1))))
+        n = max(2, int(round(strength * num_steps)))
+        sub_steps = tuple(
+            np.unique(np.linspace(0, t_start, n).astype(np.int32)).tolist()
+        )
+
+        unet_params = cast_floating(unet_params, self.unet.dtype)
+        decoder_params = cast_floating(decoder_params, self.decoder.dtype)
+        encoder_params = cast_floating(encoder_params, self.encoder.dtype)
+
+        z0 = self.encoder.apply(encoder_params, image).astype(jnp.float32)
+        b, latent = z0.shape[0], z0.shape[1]
+
+        key, k_fwd = jax.random.split(key)
+        eps = jax.random.normal(k_fwd, z0.shape, jnp.float32)
+        x_init = q_sample(
+            self.schedule, z0, jnp.full((b,), t_start, jnp.int32), eps
+        )
+
+        denoise = self._denoise_fn(
+            unet_params, latent, num_steps, sub_steps, film_cache,
+            condition, guidance_scale,
+        )
+
+        project_fn = None
+        if mask is not None:
+            m = jax.image.resize(
+                mask.astype(jnp.float32), (b, latent, latent, 1), "linear"
+            )
+
+            def project_fn(x, t_next, final, k):
+                noise = jax.random.normal(k, z0.shape, jnp.float32)
+                known = q_sample(self.schedule, z0, t_next, noise)
+                known = jnp.where(final, z0, known)
+                return m * x + (1.0 - m) * known
+
+        if sampler == "dpm++2m":
+            z = dpm_solver_sample(
+                denoise, self.schedule, key, z0.shape, num_steps=num_steps,
+                prediction=self.prediction, init_noise=x_init,
+                steps=sub_steps,
+            )
+        else:
+            z = ddim_sample(
+                denoise, self.schedule, key, z0.shape, num_steps=num_steps,
+                eta=eta, prediction=self.prediction, init_noise=x_init,
+                steps=sub_steps, project_fn=project_fn,
             )
         img = self.decoder.apply(decoder_params, z)
         return to_uint8(img)
