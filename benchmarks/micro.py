@@ -12,10 +12,15 @@ steps, see utils.profiling.chained_time); end-to-end sampling is fenced
 per call with the image readback included — that IS the user-visible
 cost.
 
-Run: python benchmarks/micro.py [--train]
+Run: python benchmarks/micro.py          (inference/sampling stages)
+     python benchmarks/micro.py --train  (training steps — each case runs
+                                          in its OWN subprocess: the b64
+                                          fwd+bwd chains need the full
+                                          16GB HBM to themselves)
 """
 from __future__ import annotations
 
+import functools
 import json
 import os
 import sys
@@ -44,7 +49,31 @@ def emit(metric, value, unit, baseline=None):
     print(json.dumps(rec), flush=True)
 
 
+TRAIN_CASES = ("ldm_b8", "ldm_b64", "ldm_b64_remat", "vae_gan")
+
+
 def main():
+    # --train dispatches each training-step case to its OWN subprocess:
+    # the fwd+bwd+opt chains at b64 need params + AdamW moments + grads
+    # + activations resident at once, and any other live buffers in the
+    # process (inference params, a previous case's failed compile) push
+    # them over the 16GB HBM (round-3 observed OOMs, /tmp/micro_train*.log).
+    # The TPU admits one process at a time — cases run sequentially; the
+    # persistent XLA cache keeps recompiles cheap across processes.
+    if "--train-case" in sys.argv:
+        run_train_case(sys.argv[sys.argv.index("--train-case") + 1])
+        return
+    if "--train" in sys.argv:
+        import subprocess
+
+        for case in TRAIN_CASES:
+            subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--train-case", case],
+                check=False,
+            )
+        return
+
     from ldm_image_generator_tpu.models import Decoder, UNet
 
     key = jax.random.PRNGKey(0)
@@ -55,6 +84,7 @@ def main():
     z32 = jnp.zeros((1, 32, 32, 8), jnp.float32)
     t1 = jnp.zeros((1,), jnp.int32)
     up = jax.jit(lambda k: unet.init({"params": k, "moe": k}, z32, t1))(key)
+
     dp = jax.jit(lambda k: dec.init(k, z32))(jax.random.PRNGKey(1))
 
     rngs = {"moe": jax.random.PRNGKey(2)}
@@ -117,144 +147,132 @@ def main():
         emit(f"ldm_e2e_256px_b{batch}", sec / batch, "s/image",
              BASE_E2E if batch == 1 else None)
 
-    if "--train" in sys.argv:
-        import dataclasses
-        import time as _t
+def run_train_case(case: str):
+    """One training-step benchmark, meant to own the whole chip.
 
-        from ldm_image_generator_tpu.diffusion import make_schedule
-        from ldm_image_generator_tpu.train import (
-            LDMTrainState, VAETrainState, make_ldm_train_step,
-            make_optimizer, make_vae_train_step,
-        )
+    The reference's documented operating points (round-2 verdict item 2):
+    the LDM step at b64 latent-32 (reference denoise workload
+    /root/reference/unet.py:75 at batch 64, now fwd+bwd+opt) with remat
+    on/off, and the VAE+GAN step at 512px/crop-192
+    (/root/reference/train_vae.py:28,57,109). Baselines measured by
+    benchmarks/ref_train_baseline.py (torch CPU eager).
 
-        schedule = make_schedule(DDPMConfig())
+    The train state is DONATED through the chain and fed back — exactly
+    what the real trainers do (cli/train_ldm.py:215) — so steady-state
+    HBM residency matches real training instead of holding input+output
+    state copies (the round-3 OOM).
+    """
+    import dataclasses
+    import time as _t
 
-        def timed_train_chain(build_chain, n_steps, iters=2):
-            """Compile + run a jitted n-step training scan, fenced; returns
-            s/step. The chain carries the train state through dependent
-            steps so the device runs back-to-back fwd+bwd+opt."""
-            chain = build_chain()
-            out = chain()
+    from ldm_image_generator_tpu.diffusion import make_schedule
+    from ldm_image_generator_tpu.models import UNet
+    from ldm_image_generator_tpu.train import (
+        LDMTrainState, VAETrainState, make_ldm_train_step,
+        make_optimizer, make_vae_train_step,
+    )
+
+    key = jax.random.PRNGKey(0)
+
+    def timed(chain, state, n_steps, iters=2):
+        """Compile + warmup once, then time `iters` donated n-step scans;
+        returns s/step. The loss row is fenced (device readback); the
+        state stays on-device and feeds the next chain."""
+        state, out = chain(state)
+        fence(out)
+        t0 = _t.perf_counter()
+        for _ in range(iters):
+            state, out = chain(state)
             fence(out)
-            t0 = _t.perf_counter()
-            for _ in range(iters):
-                out = chain()
-                fence(out)
-            return (_t.perf_counter() - t0) / (iters * n_steps)
+        return (_t.perf_counter() - t0) / (iters * n_steps)
 
+    if case.startswith("ldm"):
+        batch = 8 if case == "ldm_b8" else 64
+        remat = case.endswith("_remat")
+        n = 10 if batch == 8 else 4
+        ucfg = dataclasses.replace(UNetConfig(), remat=remat)
+        unet = UNet(ucfg, dtype=jnp.bfloat16)
+        schedule = make_schedule(DDPMConfig())
+        z32 = jnp.zeros((1, 32, 32, 8), jnp.float32)
+        t1 = jnp.zeros((1,), jnp.int32)
+        up = jax.jit(
+            lambda k: unet.init({"params": k, "moe": k}, z32, t1))(key)
         tx = make_optimizer("adamw", 1e-4)
-        state = LDMTrainState(params=up, opt_state=tx.init(up),
-                              step=jnp.zeros((), jnp.int32))
         step = make_ldm_train_step(unet, schedule, tx)
-        xb = jax.random.normal(key, (8, 32, 32, 8), jnp.float32)
+        xb = jax.random.normal(key, (batch, 32, 32, 8), jnp.float32)
 
-        @jax.jit
-        def chain_train(state):
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def chain(state):
             def body(s, i):
                 s, m = step(s, xb, jax.random.fold_in(key, i))
                 return s, m["loss"]
 
-            return jax.lax.scan(body, state, jnp.arange(10))
+            return jax.lax.scan(body, state, jnp.arange(n))
 
-        state2, losses = chain_train(state)
-        fence(losses)
-        t0 = _t.perf_counter()
-        state2, losses = chain_train(state)
-        fence(losses)
-        emit("ldm_train_step_b8_latent32", (_t.perf_counter() - t0) / 10,
-             "s/step", None)
-        del state2, losses
-
-        # ---- the reference's documented operating points (round-2
-        # verdict item 2): LDM train step at b64 latent-32 (the
-        # reference's 37.1 s/step b64 denoise workload, now fwd+bwd+opt)
-        # with remat on/off, and the VAE+GAN step at 512px/crop-192
-        # (train_vae.py:28,57,109). Baselines from BASELINE.md
-        # (benchmarks/ref_train_baseline.py measurements).
-        xb64 = jax.random.normal(key, (64, 32, 32, 8), jnp.float32)
-        for remat in (False, True):
-            ucfg_r = dataclasses.replace(ucfg, remat=remat)
-            unet_r = UNet(ucfg_r, dtype=jnp.bfloat16)
-            step_r = make_ldm_train_step(unet_r, schedule, tx)
-            n = 4
-
-            def build():
-                @jax.jit
-                def chain(state):
-                    def body(s, i):
-                        s, m = step_r(s, xb64, jax.random.fold_in(key, i))
-                        return s, m["loss"]
-
-                    return jax.lax.scan(body, state, jnp.arange(n))
-
-                st = LDMTrainState(params=up, opt_state=tx.init(up),
-                                   step=jnp.zeros((), jnp.int32))
-                return lambda: chain(st)
-
-            name = "ldm_train_step_b64_latent32" + ("_remat" if remat else "")
-            try:
-                sec = timed_train_chain(build, n)
-                # 305.96 s/step: measured reference CPU fwd+bwd+opt
-                # (benchmarks/ref_train_baseline.py, torch eager)
-                emit(name, sec, "s/step", 305.96)
-            except Exception as e:
-                print(json.dumps({"metric": name,
-                                  "error": str(e)[:200]}), flush=True)
-
-        from ldm_image_generator_tpu.config import DiscriminatorConfig
-        from ldm_image_generator_tpu.models import (
-            Discriminator, Encoder, VectorQuantizer,
-        )
-
-        vcfg_t, dcfg_t = VAEConfig(), DiscriminatorConfig()
-        enc = Encoder(vcfg_t, dtype=jnp.bfloat16)
-        dec2 = Decoder(vcfg_t, dtype=jnp.bfloat16)
-        q = VectorQuantizer(vcfg_t.num_embeddings, vcfg_t.embedding_dim)
-        disc = Discriminator(dcfg_t, dtype=jnp.bfloat16)
-        crop = 192
-        img0 = jnp.zeros((1, crop, crop, 3))
-        z0 = jnp.zeros((1, crop // vcfg_t.downscale, crop // vcfg_t.downscale,
-                        vcfg_t.latent_channels))
-        vp = {
-            "encoder": enc.init(key, img0)["params"],
-            "decoder": dec2.init(key, z0)["params"],
-            "quantizer": q.init(
-                key, z0.reshape(1, -1, vcfg_t.embedding_dim))["params"],
-        }
-        disc_p = disc.init(key, img0)["params"]
-        tx_v = make_optimizer("adafactor")
-        tx_d = make_optimizer("adafactor")
-        vstep = make_vae_train_step(enc, dec2, q, disc, tx_v, tx_d,
-                                    crop_size=crop)
-        imgs512 = jax.random.uniform(key, (8, 512, 512, 3), jnp.float32,
-                                     minval=-1, maxval=1)
-        n = 8
-
-        def build_vae():
-            @jax.jit
-            def chain(state):
-                def body(s, i):
-                    s, m, _ = vstep(s, imgs512, jax.random.fold_in(key, i))
-                    return s, m["loss"]
-
-                return jax.lax.scan(body, state, jnp.arange(n))
-
-            st = VAETrainState(
-                vae_params=vp, disc_params=disc_p,
-                opt_state_vae=tx_v.init(vp),
-                opt_state_disc=tx_d.init(disc_p),
-                step=jnp.zeros((), jnp.int32),
-            )
-            return lambda: chain(st)
-
+        st = LDMTrainState(params=up, opt_state=tx.init(up),
+                           step=jnp.zeros((), jnp.int32))
+        del up  # st aliases these buffers; the chain donates them
+        name = {"ldm_b8": "ldm_train_step_b8_latent32",
+                "ldm_b64": "ldm_train_step_b64_latent32",
+                "ldm_b64_remat": "ldm_train_step_b64_latent32_remat"}[case]
+        base = None if batch == 8 else 305.96
         try:
-            sec = timed_train_chain(build_vae, n)
-            # 42.25 s/step: measured reference CPU VAE+GAN step
-            # (benchmarks/ref_train_baseline.py, torch eager)
-            emit("vae_gan_train_step_b8_512px_crop192", sec, "s/step", 42.25)
+            emit(name, timed(chain, st, n), "s/step", base)
         except Exception as e:
-            print(json.dumps({"metric": "vae_gan_train_step_b8_512px_crop192",
-                              "error": str(e)[:200]}), flush=True)
+            print(json.dumps({"metric": name, "error": str(e)[:200]}),
+                  flush=True)
+        return
+
+    from ldm_image_generator_tpu.config import DiscriminatorConfig
+    from ldm_image_generator_tpu.models import (
+        Decoder, Discriminator, Encoder, VectorQuantizer,
+    )
+
+    vcfg_t, dcfg_t = VAEConfig(), DiscriminatorConfig()
+    enc = Encoder(vcfg_t, dtype=jnp.bfloat16)
+    dec2 = Decoder(vcfg_t, dtype=jnp.bfloat16)
+    q = VectorQuantizer(vcfg_t.num_embeddings, vcfg_t.embedding_dim)
+    disc = Discriminator(dcfg_t, dtype=jnp.bfloat16)
+    crop = 192
+    img0 = jnp.zeros((1, crop, crop, 3))
+    z0 = jnp.zeros((1, crop // vcfg_t.downscale, crop // vcfg_t.downscale,
+                    vcfg_t.latent_channels))
+    vp = {
+        "encoder": enc.init(key, img0)["params"],
+        "decoder": dec2.init(key, z0)["params"],
+        "quantizer": q.init(
+            key, z0.reshape(1, -1, vcfg_t.embedding_dim))["params"],
+    }
+    disc_p = disc.init(key, img0)["params"]
+    tx_v = make_optimizer("adafactor")
+    tx_d = make_optimizer("adafactor")
+    vstep = make_vae_train_step(enc, dec2, q, disc, tx_v, tx_d,
+                                crop_size=crop)
+    imgs512 = jax.random.uniform(key, (8, 512, 512, 3), jnp.float32,
+                                 minval=-1, maxval=1)
+    n = 8
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def chain(state):
+        def body(s, i):
+            s, m, _ = vstep(s, imgs512, jax.random.fold_in(key, i))
+            return s, m["loss"]
+
+        return jax.lax.scan(body, state, jnp.arange(n))
+
+    st = VAETrainState(
+        vae_params=vp, disc_params=disc_p,
+        opt_state_vae=tx_v.init(vp),
+        opt_state_disc=tx_d.init(disc_p),
+        step=jnp.zeros((), jnp.int32),
+    )
+    del vp, disc_p  # st aliases these buffers; the chain donates them
+    try:
+        emit("vae_gan_train_step_b8_512px_crop192", timed(chain, st, n),
+             "s/step", 42.25)
+    except Exception as e:
+        print(json.dumps({"metric": "vae_gan_train_step_b8_512px_crop192",
+                          "error": str(e)[:200]}), flush=True)
 
 
 if __name__ == "__main__":
