@@ -12,8 +12,12 @@ requests are coalesced into fixed jitted batch buckets
     GET  /healthz                          -> {"ok": true, stats...}
     GET  /stats                            -> full counters + latency
                                               histograms (p50/p90/p99)
-    GET  /sample?seed=123[&size=512]       -> image/jpeg
-    POST /sample  {"seed": 123, "size": 512} -> image/jpeg
+    GET  /sample?seed=123[&size=512][&class_id=7] -> image/jpeg
+    POST /sample  {"seed": 123, "size": 512, "class_id": 7} -> image/jpeg
+
+class_id requires --num-classes (class-conditional checkpoints); omitted
+it samples unconditionally via the model's learned null embedding, so
+conditional and unconditional requests share batches.
 
 Requests are deterministic per seed and independent of how they get
 batched (each request contributes its own x_T via init_noise; eta=0).
@@ -58,6 +62,13 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["default", "tiny"])
     p.add_argument("--quant", default="none", choices=["none", "int8"],
                    help="int8: quantized FFN weights (serving throughput)")
+    p.add_argument("--num-classes", default=0, type=int,
+                   help="serve a class-conditional model: requests may "
+                        "pass class_id (0..N-1); omitted = unconditional "
+                        "(the learned null embedding)")
+    p.add_argument("--guidance-scale", default=1.0, type=float,
+                   help="classifier-free guidance strength for "
+                        "conditional requests (1 = off)")
     from ldm_image_generator_tpu.cli.common import add_diffusion_args
 
     add_diffusion_args(p)
@@ -83,7 +94,8 @@ def make_sampler(args):
     ucfg, vcfg = UNetConfig(), VAEConfig()
     if args.config == "tiny":
         ucfg, vcfg = ucfg.tiny(), vcfg.tiny()
-    ucfg = dataclasses.replace(ucfg, ffn_quant=args.quant)
+    ucfg = dataclasses.replace(ucfg, ffn_quant=args.quant,
+                               num_classes=args.num_classes)
     dtype = jnp.bfloat16 if args.fp16 else jnp.float32
     dcfg = DDPMConfig(prediction=args.prediction,
                       zero_terminal_snr=args.zero_snr)
@@ -108,9 +120,12 @@ def make_sampler(args):
         latent = size // vcfg.downscale
         noise_shape = (latent, latent, ucfg.input_channels)
 
-        def pipeline_sample(keys, batch):
+        def pipeline_sample(keys, batch, class_ids=None):
             # per-request determinism: each request's key seeds only its
-            # own x_T; the shared scan key (routing/eta-noise) is fixed
+            # own x_T; the shared scan key (routing/eta-noise) is fixed.
+            # class_ids (conditional servers): int32 [batch]; the null id
+            # == num_classes rides through CFG as a zero guidance delta,
+            # so mixed conditional/unconditional batches are exact.
             noise = jax.vmap(
                 lambda k: jax.random.normal(k, noise_shape, jnp.float32)
             )(keys)
@@ -118,6 +133,8 @@ def make_sampler(args):
                 unet_params, dec_params, jax.random.PRNGKey(0),
                 batch=batch, image_size=size, num_steps=args.timesteps,
                 sampler=args.sampler, init_noise=noise,
+                condition=class_ids,
+                guidance_scale=args.guidance_scale,
             )
 
         return pipeline_sample
@@ -137,14 +154,14 @@ def make_handler(server, jpeg_encode):
             self.end_headers()
             self.wfile.write(body)
 
-        def _sample(self, seed: int, size=None):
+        def _sample(self, seed: int, size=None, class_id=None):
             # every failure mode maps to a specific HTTP status, never a
             # dropped connection: 503 shed, 504 ttl-expired, 400 bad
-            # variant, 500 anything else
+            # variant/class_id, 500 anything else
             from ldm_image_generator_tpu.serving import ServerOverloaded
 
             try:
-                fut = server.submit(seed, variant=size)
+                fut = server.submit(seed, variant=size, class_id=class_id)
             except ServerOverloaded as e:
                 self.send_response(503)
                 body = json.dumps({"error": str(e)}).encode()
@@ -154,7 +171,7 @@ def make_handler(server, jpeg_encode):
                 self.end_headers()
                 self.wfile.write(body)
                 return
-            except KeyError as e:
+            except (KeyError, ValueError) as e:
                 return self._send(
                     400, json.dumps({"error": str(e)}).encode()
                 )
@@ -173,7 +190,8 @@ def make_handler(server, jpeg_encode):
 
         @staticmethod
         def _parse_size(raw):
-            """None (server default) or int; raises ValueError."""
+            """Optional-int parse (size, class_id): None passes through
+            (server default / unconditional); raises ValueError."""
             return int(raw) if raw is not None else None
 
         def do_GET(self):
@@ -194,11 +212,12 @@ def make_handler(server, jpeg_encode):
                 try:
                     seed = int(q.get("seed", ["0"])[0])
                     size = self._parse_size(q.get("size", [None])[0])
+                    cid = self._parse_size(q.get("class_id", [None])[0])
                 except ValueError as e:
                     return self._send(
                         400, json.dumps({"error": f"bad arg: {e}"}).encode()
                     )
-                self._sample(seed, size)
+                self._sample(seed, size, cid)
             else:
                 self._send(404, b'{"error": "not found"}')
 
@@ -211,11 +230,12 @@ def make_handler(server, jpeg_encode):
                 body = json.loads(self.rfile.read(n) or b"{}")
                 seed = int(body.get("seed", 0))
                 size = self._parse_size(body.get("size"))
+                cid = self._parse_size(body.get("class_id"))
             except (ValueError, TypeError, AttributeError) as e:
                 return self._send(
                     400, json.dumps({"error": f"bad request: {e}"}).encode()
                 )
-            self._sample(seed, size)
+            self._sample(seed, size, cid)
 
     return Handler
 
@@ -234,7 +254,8 @@ def main(argv=None):
     server = SamplerServer(pipelines, batch_buckets=args.buckets,
                            max_wait_ms=args.max_wait_ms,
                            max_queue=args.max_queue,
-                           default_ttl_s=args.ttl_s)
+                           default_ttl_s=args.ttl_s,
+                           num_classes=args.num_classes or None)
     print(f"warmup: compiling sizes {list(pipelines)} x buckets "
           f"{args.buckets}", flush=True)
     server.warmup()

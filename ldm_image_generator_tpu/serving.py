@@ -33,6 +33,11 @@ Production hardening:
   * **Latency histograms**: ServerStats records per-request end-to-end
     latency and queue-wait in log-spaced buckets with percentile
     summaries for the /healthz /stats endpoints.
+  * **Class-conditional serving** (`num_classes=`): requests carry an
+    optional class_id, batched as an int32 row alongside the seeds;
+    requests without one (and batch padding) use the model's learned
+    null embedding, so conditional and unconditional requests coalesce
+    into the same jitted batch.
 
 Run as a JSON/JPEG HTTP daemon via cli/serve.py.
 """
@@ -67,6 +72,7 @@ class _Request:
     enqueued_at: float
     deadline: Optional[float]  # monotonic seconds, None = no TTL
     claimed: bool = False      # future already moved to RUNNING
+    class_id: Optional[int] = None  # conditional servers only
 
 
 # Log-spaced latency bucket upper bounds (milliseconds). The last bucket
@@ -184,11 +190,18 @@ class SamplerServer:
         max_wait_ms: float = 25.0,
         max_queue: int = 1024,
         default_ttl_s: Optional[float] = None,
+        num_classes: Optional[int] = None,
     ):
+        """num_classes: serve a class-conditional model — every pipeline
+        fn then takes (keys, batch, class_ids int32 [batch]) and requests
+        may carry class_id in [0, num_classes); requests without one (and
+        batch padding) get the null id == num_classes (the model's
+        learned unconditional embedding, models/unet.py class_embed)."""
         if not isinstance(pipelines, dict):
             pipelines = {None: pipelines}
         assert pipelines, "need at least one pipeline variant"
         self._pipelines = dict(pipelines)
+        self.num_classes = num_classes
         self._default_variant = next(iter(self._pipelines))
         self.buckets = tuple(sorted(set(int(b) for b in batch_buckets)))
         assert self.buckets and self.buckets[0] >= 1
@@ -208,7 +221,12 @@ class SamplerServer:
                 keys = jax.numpy.stack(
                     [jax.random.PRNGKey(i) for i in range(b)]
                 )
-                np.asarray(fn(keys, b))
+                if self.num_classes is not None:
+                    ids = jax.numpy.full((b,), self.num_classes,
+                                         jax.numpy.int32)
+                    np.asarray(fn(keys, b, ids))
+                else:
+                    np.asarray(fn(keys, b))
 
     def start(self) -> "SamplerServer":
         assert self._worker is None, "already started"
@@ -230,15 +248,17 @@ class SamplerServer:
 
     # -- client API ---------------------------------------------------------
     def submit(self, seed: int, variant: object = None,
-               ttl_s: Optional[float] = None) -> Future:
+               ttl_s: Optional[float] = None,
+               class_id: Optional[int] = None) -> Future:
         """Enqueue one image request; resolves to uint8 [H, W, 3].
 
         Raises ServerOverloaded when the queue is full (load shedding;
         callers/HTTP map this to 503 + retry-after). KeyError for an
-        unknown variant. ttl_s (or the server default) bounds queue
-        time: expired requests resolve to TimeoutError without burning
-        a batch slot. Cancelling the returned future before dispatch
-        also frees the slot.
+        unknown variant; ValueError for a class_id on an unconditional
+        server or out of range. ttl_s (or the server default) bounds
+        queue time: expired requests resolve to TimeoutError without
+        burning a batch slot. Cancelling the returned future before
+        dispatch also frees the slot.
         """
         if variant is None:
             variant = self._default_variant
@@ -246,11 +266,24 @@ class SamplerServer:
             raise KeyError(
                 f"unknown variant {variant!r}; have {list(self._pipelines)}"
             )
+        if class_id is not None:
+            if self.num_classes is None:
+                raise ValueError(
+                    "class_id given but this server is unconditional "
+                    "(start it with num_classes=...)"
+                )
+            if not 0 <= int(class_id) < self.num_classes:
+                raise ValueError(
+                    f"class_id {class_id} out of range "
+                    f"[0, {self.num_classes})"
+                )
+            class_id = int(class_id)
         fut: Future = Future()
         ttl = ttl_s if ttl_s is not None else self.default_ttl
         now = time.monotonic()
         req = _Request(int(seed), variant, fut, now,
-                       now + ttl if ttl is not None else None)
+                       now + ttl if ttl is not None else None,
+                       class_id=class_id)
         try:
             self._q.put_nowait(req)
         except queue.Full:
@@ -356,7 +389,21 @@ class SamplerServer:
                 keys = jax.numpy.stack(
                     [jax.random.PRNGKey(s) for s in seeds]
                 )
-                imgs = np.asarray(self._pipelines[variant](keys, bucket))
+                if self.num_classes is not None:
+                    # None / padding -> the null (unconditional) id
+                    null = self.num_classes
+                    ids = jax.numpy.asarray(
+                        [null if r.class_id is None else r.class_id
+                         for r in group] + [null] * pad,
+                        jax.numpy.int32,
+                    )
+                    imgs = np.asarray(
+                        self._pipelines[variant](keys, bucket, ids)
+                    )
+                else:
+                    imgs = np.asarray(
+                        self._pipelines[variant](keys, bucket)
+                    )
                 self.stats.add(batches=1, images=len(group),
                                padded_images=pad)
                 done = time.monotonic()

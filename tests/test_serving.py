@@ -241,3 +241,85 @@ def test_http_surface_end_to_end():
     finally:
         httpd.shutdown()
         srv.stop()
+
+
+def make_conditional_sample(num_classes):
+    """Stand-in with the conditional contract fn(keys, batch, class_ids):
+    the class id is encoded into the image so tests can read back which
+    id each request was dispatched with."""
+    def fn(keys, batch, class_ids):
+        imgs = jax.vmap(
+            lambda k: jax.random.uniform(k, (8, 8, 3), maxval=100.0)
+        )(keys)
+        imgs = imgs.at[:, 0, 0, 0].set(class_ids.astype(jnp.float32))
+        return imgs.astype(jnp.uint8)
+
+    return fn
+
+
+def test_conditional_server_routes_class_ids():
+    n_cls = 5
+    srv = SamplerServer(make_conditional_sample(n_cls),
+                        batch_buckets=(1, 2, 4), max_wait_ms=20,
+                        num_classes=n_cls)
+    srv.warmup()
+    with srv:
+        f_cond = srv.submit(1, class_id=3)
+        f_uncond = srv.submit(2)
+        img_c = f_cond.result(timeout=30)
+        img_u = f_uncond.result(timeout=30)
+    assert img_c[0, 0, 0] == 3            # the request's class id
+    assert img_u[0, 0, 0] == n_cls        # null id for unconditional
+
+    # validation: unconditional server rejects class_id; range-checked
+    srv2 = SamplerServer(make_tiny_sample(), batch_buckets=(1,))
+    with pytest.raises(ValueError, match="unconditional"):
+        srv2.submit(0, class_id=1)
+    with pytest.raises(ValueError, match="out of range"):
+        srv.submit(0, class_id=n_cls)
+    with pytest.raises(ValueError, match="out of range"):
+        srv.submit(0, class_id=-1)
+
+
+def test_http_conditional_surface():
+    import http.client
+    import io
+    from http.server import ThreadingHTTPServer
+
+    import PIL.Image
+
+    from ldm_image_generator_tpu.cli.serve import make_handler
+
+    srv = SamplerServer(make_conditional_sample(4), batch_buckets=(1, 2),
+                        max_wait_ms=5, num_classes=4)
+    srv.start()
+
+    def jpeg_encode(img):
+        buf = io.BytesIO()
+        PIL.Image.fromarray(np.asarray(img)).save(buf, format="JPEG")
+        return buf.getvalue()
+
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0),
+                                make_handler(srv, jpeg_encode))
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        conn.request("GET", "/sample?seed=1&class_id=2")
+        r = conn.getresponse()
+        assert r.status == 200 and r.getheader("Content-Type") == "image/jpeg"
+        r.read()
+        # out-of-range class id -> 400, not a dropped connection
+        conn.request("GET", "/sample?seed=1&class_id=99")
+        r = conn.getresponse()
+        assert r.status == 400 and b"out of range" in r.read()
+        # malformed class id -> 400
+        conn.request("GET", "/sample?seed=1&class_id=abc")
+        r = conn.getresponse()
+        assert r.status == 400
+        r.read()
+        conn.close()
+    finally:
+        httpd.shutdown()
+        srv.stop()
