@@ -252,24 +252,31 @@ def run_train_case(case: str):
                                  minval=-1, maxval=1)
     n = 8
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def chain(state):
-        def body(s, i):
-            s, m, _ = vstep(s, imgs512, jax.random.fold_in(key, i))
-            return s, m["loss"]
-
-        return jax.lax.scan(body, state, jnp.arange(n))
-
+    # This case is measured as a Python loop of dependent DONATED single
+    # steps (the jitted unit the real trainer runs, cli/train_vae.py:143)
+    # instead of a lax.scan chain: this environment's remote compile
+    # helper crashes (HTTP 500) on the scanned two-optimizer step while
+    # the single step compiles and runs fine (verified 2026-08-17,
+    # /tmp/vae_gan_case.log). Steps dispatch asynchronously and execute
+    # back-to-back on device; one fence closes the chain, so the
+    # 25-45 ms fence cost amortizes to <2% at this step time.
+    step_jit = jax.jit(vstep, donate_argnums=(0,))
     st = VAETrainState(
         vae_params=vp, disc_params=disc_p,
         opt_state_vae=tx_v.init(vp),
         opt_state_disc=tx_d.init(disc_p),
         step=jnp.zeros((), jnp.int32),
     )
-    del vp, disc_p  # st aliases these buffers; the chain donates them
+    del vp, disc_p  # st aliases these buffers; the step donates them
     try:
-        emit("vae_gan_train_step_b8_512px_crop192", timed(chain, st, n),
-             "s/step", 42.25)
+        st, m, _ = step_jit(st, imgs512, key)  # compile + warmup
+        fence(m["loss"])
+        t0 = _t.perf_counter()
+        for i in range(2 * n):
+            st, m, _ = step_jit(st, imgs512, jax.random.fold_in(key, i))
+        fence(m["loss"])
+        sec = (_t.perf_counter() - t0) / (2 * n)
+        emit("vae_gan_train_step_b8_512px_crop192", sec, "s/step", 42.25)
     except Exception as e:
         print(json.dumps({"metric": "vae_gan_train_step_b8_512px_crop192",
                           "error": str(e)[:200]}), flush=True)
