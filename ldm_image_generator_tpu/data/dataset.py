@@ -165,16 +165,23 @@ class ImageDataset:
             preprocess_batch_native,
         )
 
-        chunk = 256
+        from concurrent.futures import ThreadPoolExecutor
+
+        chunk = 64
         threads = 0 if self.n_workers in (-1, 0) else self.n_workers
-        for start in range(0, len(missing), chunk):
-            idxs = missing[start:start + chunk]
-            res = preprocess_batch_native(
-                [self.paths[i] for i in idxs], self.size, threads
-            )
-            if res is None:
-                return False
-            imgs, status = res
+        # Two REUSED destination buffers, decode/write pipelined: a fresh
+        # multi-MB numpy allocation per chunk goes back to the OS on free
+        # and the next chunk re-faults every page (measured 4x slower
+        # than the decode itself, 33-48 vs ~205 imgs/s steady with
+        # reuse); and writing the fp16 cache serially after each decode
+        # chunk idles the decoder during IO — chunk k's writes run on a
+        # background thread (numpy cast + file IO release the GIL) while
+        # the C++ pool decodes chunk k+1 into the other buffer.
+        n0 = min(chunk, len(missing))
+        bufs = [np.empty((n0, self.size, self.size, 3), np.float32)
+                for _ in range(2)]
+
+        def write_chunk(idxs, imgs, status):
             for j, i in enumerate(idxs):
                 if status[j] == 0:
                     self._write_atomic(
@@ -185,19 +192,45 @@ class ImageDataset:
                         self._build_one(i)  # PIL fallback per image
                     except Exception:
                         pass  # __getitem__ falls back to item 0
+
+        writer = ThreadPoolExecutor(1, thread_name_prefix="ldm-cache-write")
+        pending = None
+        try:
+            for ci, start in enumerate(range(0, len(missing), chunk)):
+                idxs = missing[start:start + chunk]
+                res = preprocess_batch_native(
+                    [self.paths[i] for i in idxs], self.size, threads,
+                    out=bufs[ci % 2][:len(idxs)],
+                )
+                if res is None:
+                    return False
+                imgs, status = res
+                if pending is not None:
+                    pending.result()  # buffer ci%2 free again next iter
+                pending = writer.submit(write_chunk, idxs, imgs, status)
+        finally:
+            if pending is not None:
+                pending.result()
+            writer.shutdown(wait=True)
         return True
 
     # -- access -----------------------------------------------------------
     def __len__(self) -> int:
         return len(self.paths)
 
-    def __getitem__(self, index: int) -> np.ndarray:
+    def load_raw(self, index: int) -> np.ndarray:
+        """The cached fp16 array, memory-mapped (zero-copy from the OS
+        page cache — the batch assembler stacks straight out of it and
+        casts once per batch; measured 411 -> 684 imgs/s warm at b64
+        256px, benchmarks/loader_bench.py)."""
         try:
-            arr = np.load(self._cache_paths[index])
+            return np.load(self._cache_paths[index], mmap_mode="r")
         except Exception:
             # corrupt-file fallback to item 0 (dataset.py:79-85)
-            arr = np.load(self._cache_paths[0])
-        return arr.astype(np.float32)
+            return np.load(self._cache_paths[0], mmap_mode="r")
+
+    def __getitem__(self, index: int) -> np.ndarray:
+        return self.load_raw(index).astype(np.float32)
 
 
 class LatentImageDataset(ImageDataset):

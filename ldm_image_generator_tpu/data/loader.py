@@ -31,6 +31,7 @@ class BatchLoader:
         shard_index: "int | None" = None,
         shard_count: "int | None" = None,
         with_labels: bool = False,
+        device_cast: bool = False,
     ):
         """batch_size is the GLOBAL batch. On a multi-host job each
         process constructs the loader with the same seed; the per-epoch
@@ -42,7 +43,13 @@ class BatchLoader:
 
         with_labels=True yields (images, labels int32 [per_host]) pairs
         from the dataset's per-source-dir labels (class conditioning);
-        labels ride along unsharded (tiny, placed by jit)."""
+        labels ride along unsharded (tiny, placed by jit).
+
+        device_cast=True yields the cache's fp16 batches as-is — half
+        the host work and half the H2D transfer; the consumer casts to
+        float32 ON DEVICE (exact: the cached values are fp16-quantized
+        either way, so fp16 -> fp32 on device is lossless and bit-equal
+        to the host cast)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -63,6 +70,7 @@ class BatchLoader:
         self.shard_index = shard_index
         self.shard_count = shard_count
         self.with_labels = with_labels
+        self.device_cast = device_cast
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -77,7 +85,20 @@ class BatchLoader:
         return idx
 
     def _make_batch(self, idxs) -> np.ndarray:
-        return np.stack([self.dataset[int(i)] for i in idxs])
+        # sequential on purpose: a thread pool measured SLOWER on this
+        # one-core host (397 -> 250 imgs/s warm) — the per-item work is
+        # a memory-bound fp16 read + cast, not parallelizable IO. The
+        # fast path stacks the memory-mapped fp16 cache directly and
+        # casts ONCE per batch (411 -> 684 imgs/s warm at b64 256px,
+        # benchmarks/loader_bench.py — above the 102 ms b64 train step's
+        # ~640 imgs/s demand). device_cast skips the host cast entirely
+        # (~3090 imgs/s) and ships half the H2D bytes; the consumer then
+        # casts on device.
+        load = getattr(self.dataset, "load_raw", None)
+        if load is None:  # dataset without a raw fp16 cache
+            return np.stack([self.dataset[int(i)] for i in idxs])
+        batch = np.stack([load(int(i)) for i in idxs])
+        return batch if self.device_cast else batch.astype(np.float32)
 
     def __iter__(self) -> Iterator:
         idx = self._epoch_indices()

@@ -202,3 +202,27 @@ def test_batch_loader_shard_divisibility_checked(imgdir, tmp_path):
     ds = ImageDataset([str(imgdir)], cache_dir=str(tmp_path / "c2"), size=8)
     with pytest.raises(AssertionError):
         BatchLoader(ds, 3, shard_index=0, shard_count=2)
+
+
+def test_load_raw_and_device_cast(imgdir, tmp_path):
+    """The warm fast path: load_raw serves the fp16 cache zero-copy;
+    default batches are float32 and bit-equal to per-item loading;
+    device_cast=True ships the fp16 batch as-is (the consumer casts on
+    device — lossless because the cache is fp16-quantized either way)."""
+    ds = ImageDataset([str(imgdir)], cache_dir=str(tmp_path / "c"), size=8)
+    raw = ds.load_raw(0)
+    assert raw.dtype == np.float16
+    item = ds[0]
+    assert item.dtype == np.float32
+    np.testing.assert_array_equal(item, raw.astype(np.float32))
+
+    for device_cast, want in ((False, np.float32), (True, np.float16)):
+        loader = BatchLoader(ds, batch_size=2, shuffle=False,
+                             device_cast=device_cast)
+        batch = next(iter(loader))
+        assert batch.dtype == want
+        assert batch.shape == (2, 8, 8, 3)
+        np.testing.assert_array_equal(
+            batch.astype(np.float32),
+            np.stack([ds[0], ds[1]]),
+        )
