@@ -27,6 +27,23 @@ poison later allocations in the process) and prints OK / CRASH:
 Run on the TPU (takes several remote compiles, ~5 min each):
 
     python benchmarks/scan_compile_repro.py [--case NAME]
+
+Results on this environment (2026-08-17, axon tunnel; re-run to
+revalidate after any toolchain change):
+
+    single:         OK — loss: 8.4728
+    scan_n8:        CRASH — HTTP 500: tpu_compile_helper exit code 1
+    scan_n2:        CRASH — same (NOT trip-count/resource dependent)
+    scan_no_pallas: OK — 8 losses printed
+
+i.e. the trigger is the Pallas VQ nearest-neighbor kernel
+(kernels/vq.py) lowered INSIDE a lax.scan body: the identical program
+with the XLA VQ path scans fine, and the VQ kernel outside scan is fine
+(it runs in every production VAE train step). The LDM step's Pallas FFN
+kernels scan without issue, so it is kernel-specific, not
+Pallas-in-scan generally. Production is unaffected — the real trainers
+drive steps from a Python loop (cli/train_vae.py) — but benchmark/eval
+code must not wrap the VAE step in lax.scan on this toolchain.
 """
 from __future__ import annotations
 

@@ -116,7 +116,8 @@ def main(argv=None):
         sharding = batch_sharding(mesh, 4)
         print(f"data-parallel over {n_dev} devices")
 
-    loader = BatchLoader(ds, args.batch, sharding=sharding)
+    loader = BatchLoader(ds, args.batch, sharding=sharding,
+                         device_cast=True)
     logger = MetricLogger(log_every=10)
 
     validator = None

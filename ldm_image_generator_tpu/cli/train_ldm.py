@@ -216,7 +216,7 @@ def main(argv=None):
     )
 
     loader = BatchLoader(ds, args.batch, sharding=sharding,
-                         with_labels=num_classes > 0)
+                         with_labels=num_classes > 0, device_cast=True)
     logger = MetricLogger(log_every=10)
 
     validator = None

@@ -88,6 +88,11 @@ def make_vae_train_step(
     would not match the random crop used in the step)."""
 
     def step(state: VAETrainState, images: jnp.ndarray, key: jax.Array):
+        # fp32 entry cast ON DEVICE: BatchLoader(device_cast=True) ships
+        # the fp16 cache as-is (half the H2D bytes + host work); the
+        # cast here is lossless — the cached values are fp16-quantized
+        # either way — and a no-op for fp32 batches
+        images = images.astype(jnp.float32)
         k_crop, k_noise = jax.random.split(key)
         if crop_size and crop_size < images.shape[1]:
             images = random_crop_batch(images, crop_size, k_crop)
@@ -188,6 +193,9 @@ def make_ldm_train_step(
 
     def step(state: LDMTrainState, x: jnp.ndarray, key: jax.Array,
              labels=None):
+        # fp32 entry cast on device (see make_vae_train_step): keeps the
+        # loss noise draw and targets fp32 when the loader ships fp16
+        x = x.astype(jnp.float32)
         cond = None
         if labels is not None and num_classes > 0:
             k_drop = jax.random.fold_in(key, 0x5EED)
