@@ -14,10 +14,16 @@ requests are coalesced into fixed jitted batch buckets
                                               histograms (p50/p90/p99)
     GET  /sample?seed=123[&size=512][&class_id=7] -> image/jpeg
     POST /sample  {"seed": 123, "size": 512, "class_id": 7} -> image/jpeg
+    POST /img2img {"seed": 1, "image": "<base64>"[, "size", "class_id"]}
+                                           -> image/jpeg (needs
+                                              --img2img-strength > 0)
 
 class_id requires --num-classes (class-conditional checkpoints); omitted
 it samples unconditionally via the model's learned null embedding, so
-conditional and unconditional requests share batches.
+conditional and unconditional requests share batches. /img2img requests
+batch like any other variant — the client image rides as a per-request
+payload row (SDEdit partial diffusion at the server's
+--img2img-strength).
 
 Requests are deterministic per seed and independent of how they get
 batched (each request contributes its own x_T via init_noise; eta=0).
@@ -69,6 +75,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--guidance-scale", default=1.0, type=float,
                    help="classifier-free guidance strength for "
                         "conditional requests (1 = off)")
+    p.add_argument("--img2img-strength", default=0.0, type=float,
+                   help="also serve POST /img2img (SDEdit partial "
+                        "diffusion from a client image) at this strength "
+                        "(0 = endpoint disabled)")
+    p.add_argument("-encp", "--encpath", default="./vae_encoder.pt",
+                   help="VAE encoder weights (img2img serving only)")
     from ldm_image_generator_tpu.cli.common import add_diffusion_args
 
     add_diffusion_args(p)
@@ -116,6 +128,14 @@ def make_sampler(args):
         args.decpath, dec_params, lambda sd: ti.convert_decoder(sd, vcfg)
     ) or dec_params
 
+    enc_params = None
+    if args.img2img_strength > 0:
+        enc_params = pipe.encoder.init(
+            key, jnp.zeros((1, sizes[0], sizes[0], 3)))
+        enc_params = maybe_load(
+            args.encpath, enc_params, lambda sd: ti.convert_encoder(sd, vcfg)
+        ) or enc_params
+
     def make_for_size(size: int):
         latent = size // vcfg.downscale
         noise_shape = (latent, latent, ucfg.input_channels)
@@ -139,10 +159,39 @@ def make_sampler(args):
 
         return pipeline_sample
 
-    return {s: make_for_size(s) for s in sizes}, sizes[0]
+    def make_img2img_for_size(size: int):
+        latent = size // vcfg.downscale
+        noise_shape = (latent, latent, ucfg.input_channels)
+
+        def pipeline_img2img(keys, batch, class_ids=None, payload=None):
+            # per-request determinism: each request's key seeds its OWN
+            # forward-diffusion noise, so the result is independent of
+            # batch composition (same contract as pipeline_sample)
+            noise = jax.vmap(
+                lambda k: jax.random.normal(k, noise_shape, jnp.float32)
+            )(keys)
+            return pipe.img2img(
+                unet_params, dec_params, enc_params, jax.random.PRNGKey(0),
+                payload, strength=args.img2img_strength,
+                num_steps=args.timesteps, sampler=args.sampler,
+                condition=class_ids, guidance_scale=args.guidance_scale,
+                fwd_noise=noise,
+            )
+
+        return pipeline_img2img
+
+    variants = {s: make_for_size(s) for s in sizes}
+    if args.img2img_strength > 0:
+        from ldm_image_generator_tpu.serving import Variant
+
+        for s in sizes:
+            variants[("img2img", s)] = Variant(
+                make_img2img_for_size(s), payload_shape=(s, s, 3)
+            )
+    return variants, sizes[0]
 
 
-def make_handler(server, jpeg_encode):
+def make_handler(server, jpeg_encode, default_size=None):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
             pass
@@ -154,14 +203,20 @@ def make_handler(server, jpeg_encode):
             self.end_headers()
             self.wfile.write(body)
 
-        def _sample(self, seed: int, size=None, class_id=None):
+        def _sample(self, seed: int, size=None, class_id=None,
+                    payload=None, img2img=False):
             # every failure mode maps to a specific HTTP status, never a
             # dropped connection: 503 shed, 504 ttl-expired, 400 bad
-            # variant/class_id, 500 anything else
+            # variant/class_id/payload, 500 anything else
             from ldm_image_generator_tpu.serving import ServerOverloaded
 
+            variant = size
+            if img2img:
+                variant = ("img2img",
+                           size if size is not None else default_size)
             try:
-                fut = server.submit(seed, variant=size, class_id=class_id)
+                fut = server.submit(seed, variant=variant,
+                                    class_id=class_id, payload=payload)
             except ServerOverloaded as e:
                 self.send_response(503)
                 body = json.dumps({"error": str(e)}).encode()
@@ -223,7 +278,7 @@ def make_handler(server, jpeg_encode):
 
         def do_POST(self):
             url = urlparse(self.path)
-            if url.path != "/sample":
+            if url.path not in ("/sample", "/img2img"):
                 return self._send(404, b'{"error": "not found"}')
             n = int(self.headers.get("Content-Length", 0))
             try:
@@ -231,11 +286,29 @@ def make_handler(server, jpeg_encode):
                 seed = int(body.get("seed", 0))
                 size = self._parse_size(body.get("size"))
                 cid = self._parse_size(body.get("class_id"))
-            except (ValueError, TypeError, AttributeError) as e:
+                payload = None
+                if url.path == "/img2img":
+                    # {"image": base64 of any image format PIL reads}
+                    import base64
+                    import io
+
+                    from ldm_image_generator_tpu.data.dataset import (
+                        preprocess_image,
+                    )
+
+                    raw = base64.b64decode(body["image"])
+                    payload = preprocess_image(
+                        io.BytesIO(raw),
+                        size if size is not None else default_size,
+                        use_native=False,  # takes a file object
+                    )
+            except (KeyError, ValueError, TypeError, AttributeError,
+                    OSError) as e:
                 return self._send(
                     400, json.dumps({"error": f"bad request: {e}"}).encode()
                 )
-            self._sample(seed, size, cid)
+            self._sample(seed, size, cid, payload,
+                         img2img=url.path == "/img2img")
 
     return Handler
 
@@ -250,7 +323,9 @@ def main(argv=None):
 
     from ldm_image_generator_tpu.serving import SamplerServer
 
-    pipelines, _ = make_sampler(args)
+    if not 0.0 <= args.img2img_strength <= 1.0:
+        raise SystemExit("--img2img-strength must be in [0, 1]")
+    pipelines, default_size = make_sampler(args)
     server = SamplerServer(pipelines, batch_buckets=args.buckets,
                            max_wait_ms=args.max_wait_ms,
                            max_queue=args.max_queue,
@@ -267,8 +342,10 @@ def main(argv=None):
                                               quality=95)
         return buf.getvalue()
 
-    httpd = ThreadingHTTPServer((args.host, args.port),
-                                make_handler(server, jpeg_encode))
+    httpd = ThreadingHTTPServer(
+        (args.host, args.port),
+        make_handler(server, jpeg_encode, default_size),
+    )
     print(f"serving on http://{args.host}:{args.port}", flush=True)
     try:
         httpd.serve_forever()

@@ -237,6 +237,7 @@ class LDMPipeline:
         mask: Optional[jnp.ndarray] = None,
         condition: Optional[jnp.ndarray] = None,
         guidance_scale: float = 1.0,
+        fwd_noise: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         """Image-to-image / inpainting (SDEdit, arXiv:2108.01073): encode
         the input, diffuse it to t_start = strength * (T-1), then run the
@@ -253,6 +254,11 @@ class LDMPipeline:
         0 = keep. Keeps the known region by projecting it to the current
         noise level after every DDIM step and pasting the exact latent
         on the terminal step (RePaint-style). Requires sampler='ddim'.
+
+        fwd_noise: optional [batch, latent, latent, C] override of the
+        forward-diffusion noise (serving: per-request noise derived from
+        each request's own key, so results are independent of how
+        requests get batched).
 
         Returns uint8 images like `sample`.
         """
@@ -275,7 +281,10 @@ class LDMPipeline:
         b, latent = z0.shape[0], z0.shape[1]
 
         key, k_fwd = jax.random.split(key)
-        eps = jax.random.normal(k_fwd, z0.shape, jnp.float32)
+        if fwd_noise is None:
+            eps = jax.random.normal(k_fwd, z0.shape, jnp.float32)
+        else:
+            eps = fwd_noise.astype(jnp.float32)
         x_init = q_sample(
             self.schedule, z0, jnp.full((b,), t_start, jnp.int32), eps
         )

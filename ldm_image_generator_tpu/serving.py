@@ -59,6 +59,23 @@ class ServerOverloaded(RuntimeError):
     """Raised by submit() when the request queue is full (shed load)."""
 
 
+@dataclasses.dataclass(frozen=True)
+class Variant:
+    """A servable pipeline with optional per-request features.
+
+    fn is called as fn(keys, batch[, class_ids][, payload=...]):
+    class_ids rides when the server has num_classes set; payload (e.g.
+    an img2img init image) when payload_shape is declared — requests to
+    a payload variant MUST supply a payload of that per-request shape,
+    which the worker stacks to [batch, *payload_shape] (zero rows pad).
+    Bare callables passed to SamplerServer are wrapped as
+    Variant(fn) — the no-payload contract is unchanged."""
+
+    fn: object
+    payload_shape: Optional[Tuple[int, ...]] = None
+    payload_dtype: object = np.float32
+
+
 # _take_group's "nothing to dispatch" sentinel — must be distinct from
 # every possible variant key (None is the default single-variant key)
 _NO_WORK = object()
@@ -73,6 +90,7 @@ class _Request:
     deadline: Optional[float]  # monotonic seconds, None = no TTL
     claimed: bool = False      # future already moved to RUNNING
     class_id: Optional[int] = None  # conditional servers only
+    payload: Optional[np.ndarray] = None  # payload variants only
 
 
 # Log-spaced latency bucket upper bounds (milliseconds). The last bucket
@@ -200,7 +218,10 @@ class SamplerServer:
         if not isinstance(pipelines, dict):
             pipelines = {None: pipelines}
         assert pipelines, "need at least one pipeline variant"
-        self._pipelines = dict(pipelines)
+        self._pipelines = {
+            k: v if isinstance(v, Variant) else Variant(v)
+            for k, v in pipelines.items()
+        }
         self.num_classes = num_classes
         self._default_variant = next(iter(self._pipelines))
         self.buckets = tuple(sorted(set(int(b) for b in batch_buckets)))
@@ -216,17 +237,30 @@ class SamplerServer:
     def warmup(self) -> None:
         """Precompile every (variant, bucket) — first calls are slow on
         TPU; in steady state nothing ever compiles."""
-        for fn in self._pipelines.values():
+        for v in self._pipelines.values():
             for b in self.buckets:
                 keys = jax.numpy.stack(
                     [jax.random.PRNGKey(i) for i in range(b)]
                 )
-                if self.num_classes is not None:
-                    ids = jax.numpy.full((b,), self.num_classes,
-                                         jax.numpy.int32)
-                    np.asarray(fn(keys, b, ids))
-                else:
-                    np.asarray(fn(keys, b))
+                payload = None
+                if v.payload_shape is not None:
+                    payload = np.zeros((b,) + tuple(v.payload_shape),
+                                       v.payload_dtype)
+                np.asarray(self._dispatch(v, keys, b, None, payload))
+
+    def _dispatch(self, v: Variant, keys, bucket, ids, payload):
+        """Call a variant fn with exactly the features it declares.
+        ids=None means all-null on conditional servers."""
+        args = [keys, bucket]
+        if self.num_classes is not None:
+            if ids is None:
+                ids = jax.numpy.full((bucket,), self.num_classes,
+                                     jax.numpy.int32)
+            args.append(ids)
+        kwargs = {}
+        if v.payload_shape is not None:
+            kwargs["payload"] = payload
+        return v.fn(*args, **kwargs)
 
     def start(self) -> "SamplerServer":
         assert self._worker is None, "already started"
@@ -249,22 +283,38 @@ class SamplerServer:
     # -- client API ---------------------------------------------------------
     def submit(self, seed: int, variant: object = None,
                ttl_s: Optional[float] = None,
-               class_id: Optional[int] = None) -> Future:
+               class_id: Optional[int] = None,
+               payload: Optional[np.ndarray] = None) -> Future:
         """Enqueue one image request; resolves to uint8 [H, W, 3].
 
         Raises ServerOverloaded when the queue is full (load shedding;
         callers/HTTP map this to 503 + retry-after). KeyError for an
         unknown variant; ValueError for a class_id on an unconditional
-        server or out of range. ttl_s (or the server default) bounds
-        queue time: expired requests resolve to TimeoutError without
-        burning a batch slot. Cancelling the returned future before
-        dispatch also frees the slot.
+        server or out of range, or for a missing/mis-shaped payload on a
+        payload variant. ttl_s (or the server default) bounds queue
+        time: expired requests resolve to TimeoutError without burning a
+        batch slot. Cancelling the returned future before dispatch also
+        frees the slot.
         """
         if variant is None:
             variant = self._default_variant
         if variant not in self._pipelines:
             raise KeyError(
                 f"unknown variant {variant!r}; have {list(self._pipelines)}"
+            )
+        v = self._pipelines[variant]
+        if v.payload_shape is not None:
+            want = tuple(v.payload_shape)
+            if payload is None or tuple(np.shape(payload)) != want:
+                raise ValueError(
+                    f"variant {variant!r} needs a payload of shape "
+                    f"{want}, got "
+                    f"{None if payload is None else np.shape(payload)}"
+                )
+            payload = np.asarray(payload, v.payload_dtype)
+        elif payload is not None:
+            raise ValueError(
+                f"variant {variant!r} does not take a payload"
             )
         if class_id is not None:
             if self.num_classes is None:
@@ -283,7 +333,7 @@ class SamplerServer:
         now = time.monotonic()
         req = _Request(int(seed), variant, fut, now,
                        now + ttl if ttl is not None else None,
-                       class_id=class_id)
+                       class_id=class_id, payload=payload)
         try:
             self._q.put_nowait(req)
         except queue.Full:
@@ -385,10 +435,12 @@ class SamplerServer:
             pad = bucket - len(group)
             dispatch_at = time.monotonic()
             seeds = [r.seed for r in group] + [0] * pad
+            v = self._pipelines[variant]
             try:
                 keys = jax.numpy.stack(
                     [jax.random.PRNGKey(s) for s in seeds]
                 )
+                ids = None
                 if self.num_classes is not None:
                     # None / padding -> the null (unconditional) id
                     null = self.num_classes
@@ -397,13 +449,16 @@ class SamplerServer:
                          for r in group] + [null] * pad,
                         jax.numpy.int32,
                     )
-                    imgs = np.asarray(
-                        self._pipelines[variant](keys, bucket, ids)
+                payload = None
+                if v.payload_shape is not None:
+                    zero = np.zeros(tuple(v.payload_shape),
+                                    v.payload_dtype)
+                    payload = np.stack(
+                        [r.payload for r in group] + [zero] * pad
                     )
-                else:
-                    imgs = np.asarray(
-                        self._pipelines[variant](keys, bucket)
-                    )
+                imgs = np.asarray(
+                    self._dispatch(v, keys, bucket, ids, payload)
+                )
                 self.stats.add(batches=1, images=len(group),
                                padded_images=pad)
                 done = time.monotonic()

@@ -323,3 +323,108 @@ def test_http_conditional_surface():
     finally:
         httpd.shutdown()
         srv.stop()
+
+
+def test_payload_variant_batching_and_validation():
+    from ldm_image_generator_tpu.serving import Variant
+
+    def fn(keys, batch, payload=None):
+        # encode each request's payload mean into its image so the test
+        # can verify per-request payload routing through batching
+        imgs = jnp.broadcast_to(
+            jnp.mean(payload, axis=(1, 2, 3))[:, None, None, None],
+            (batch, 8, 8, 3),
+        )
+        return imgs.astype(jnp.uint8)
+
+    srv = SamplerServer(
+        {"gen": make_tiny_sample(),
+         "i2i": Variant(fn, payload_shape=(4, 4, 3))},
+        batch_buckets=(1, 2, 4), max_wait_ms=20,
+    )
+    srv.warmup()
+    with srv:
+        f1 = srv.submit(1, variant="i2i", payload=np.full((4, 4, 3), 7.0))
+        f2 = srv.submit(2, variant="i2i", payload=np.full((4, 4, 3), 9.0))
+        f3 = srv.submit(3, variant="gen")  # other variant, same server
+        a, b, c = (f.result(timeout=30) for f in (f1, f2, f3))
+    assert a[0, 0, 0] == 7 and b[0, 0, 0] == 9
+    assert c.shape == (8, 8, 3)
+
+    with pytest.raises(ValueError, match="needs a payload"):
+        srv.submit(0, variant="i2i")
+    with pytest.raises(ValueError, match="needs a payload"):
+        srv.submit(0, variant="i2i", payload=np.zeros((2, 2, 3)))
+    with pytest.raises(ValueError, match="does not take"):
+        srv.submit(0, variant="gen", payload=np.zeros((4, 4, 3)))
+
+
+def test_http_img2img_surface():
+    import base64
+    import http.client
+    import io
+    import json as _json
+    from http.server import ThreadingHTTPServer
+
+    import PIL.Image
+
+    from ldm_image_generator_tpu.cli.serve import make_handler
+    from ldm_image_generator_tpu.serving import Variant
+
+    got = {}
+
+    def fn(keys, batch, payload=None):
+        got["payload"] = np.asarray(payload)
+        return jnp.zeros((batch, 8, 8, 3), jnp.uint8)
+
+    srv = SamplerServer(
+        {16: make_tiny_sample(),
+         ("img2img", 16): Variant(fn, payload_shape=(16, 16, 3))},
+        batch_buckets=(1, 2), max_wait_ms=5,
+    )
+    srv.start()
+
+    def jpeg_encode(img):
+        buf = io.BytesIO()
+        PIL.Image.fromarray(np.asarray(img)).save(buf, format="JPEG")
+        return buf.getvalue()
+
+    httpd = ThreadingHTTPServer(
+        ("127.0.0.1", 0), make_handler(srv, jpeg_encode, default_size=16)
+    )
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        buf = io.BytesIO()
+        PIL.Image.fromarray(
+            np.full((16, 16, 3), 200, np.uint8)).save(buf, format="PNG")
+        body = _json.dumps({
+            "seed": 5, "image": base64.b64encode(buf.getvalue()).decode(),
+        })
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        conn.request("POST", "/img2img", body,
+                     {"Content-Type": "application/json"})
+        r = conn.getresponse()
+        assert r.status == 200 and r.getheader("Content-Type") == "image/jpeg"
+        r.read()
+        # the decoded client image reached the pipeline in [-1, 1]
+        assert got["payload"].shape == (1, 16, 16, 3)
+        assert abs(got["payload"][0].mean() - (200 / 127.5 - 1.0)) < 0.02
+        # missing image field -> 400
+        conn.request("POST", "/img2img", _json.dumps({"seed": 1}),
+                     {"Content-Type": "application/json"})
+        r = conn.getresponse()
+        assert r.status == 400
+        r.read()
+        # garbage base64 -> 400
+        conn.request("POST", "/img2img",
+                     _json.dumps({"seed": 1, "image": "!!notb64!!"}),
+                     {"Content-Type": "application/json"})
+        r = conn.getresponse()
+        assert r.status == 400
+        r.read()
+        conn.close()
+    finally:
+        httpd.shutdown()
+        srv.stop()
