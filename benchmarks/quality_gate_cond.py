@@ -1,0 +1,285 @@
+"""Production-scale quality gate for the CONDITIONING path.
+
+quality_gate.py proved the unconditional flagship loop improves patched
+KID on real photos; this gate proves class-conditional generation + CFG
+actually STEER samples at the default 385.7M scale — the capability the
+reference stubs out entirely (/root/reference/ddpm.py:78 hardcodes
+condition=None).
+
+Classes are the distinct bundled source photographs (china / flower /
+grace_hopper — visually very different scenes), each contributing its
+own random-crop corpus under a dir-per-class layout (the same layout
+`train_ldm --num-classes` consumes):
+
+  1. train the default VAE+GAN on all classes pooled (as quality_gate);
+  2. train the default UNet with num_classes=K, labels, and 10%
+     condition dropout (the CFG recipe, arXiv:2207.12598);
+  3. at checkpoints: for every class c, sample a grid conditioned on c
+     with guidance, then compute patched KID of those samples against
+     EVERY class's real crops. Conditioning works iff the diagonal wins:
+     KID(fake_c, real_c) < mean over c' != c of KID(fake_c, real_c').
+
+Writes quality/cond_metrics.jsonl + per-class sample grids and
+QUALITY_COND_r03.json {"ok": diagonal_wins and kid decreased, ...}.
+
+Run (TPU, ~60-90 min mostly compiles):
+    python benchmarks/quality_gate_cond.py [--vae-steps N] [--ldm-steps N]
+"""
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+CLASS_SOURCES = [
+    "/opt/venv/lib/python3.12/site-packages/sklearn/datasets/images/china.jpg",
+    "/opt/venv/lib/python3.12/site-packages/sklearn/datasets/images/flower.jpg",
+    "/opt/venv/lib/python3.12/site-packages/matplotlib/mpl-data/sample_data/grace_hopper.jpg",
+]
+
+
+def build_labeled_dataset(outdir: str, per_class: int = 48,
+                          size: int = 256) -> int:
+    """Random crops of each source photo into class_<k>/ subdirs (the
+    dir-per-class labeling train_ldm --num-classes uses)."""
+    import numpy as np
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    k = 0
+    for ci, src in enumerate(CLASS_SOURCES):
+        cdir = os.path.join(outdir, f"class_{ci}")
+        os.makedirs(cdir, exist_ok=True)
+        if len(glob.glob(os.path.join(cdir, "*.jpg"))) >= per_class:
+            k += 1
+            continue
+        im = Image.open(src).convert("RGB")
+        w, h = im.size
+        for i in range(per_class):
+            s = int(min(w, h) * rng.uniform(0.4, 1.0))
+            x0 = rng.integers(0, w - s + 1)
+            y0 = rng.integers(0, h - s + 1)
+            crop = im.crop((x0, y0, x0 + s, y0 + s)).resize(
+                (size, size), Image.BICUBIC
+            )
+            if rng.random() < 0.5:
+                crop = crop.transpose(Image.FLIP_LEFT_RIGHT)
+            crop.save(os.path.join(cdir, f"{i:04d}.jpg"), quality=95)
+        k += 1
+    return k
+
+
+def main():
+    argval = lambda name, d: (
+        int(sys.argv[sys.argv.index(name) + 1]) if name in sys.argv else d
+    )
+    vae_steps = argval("--vae-steps", 300)
+    ldm_steps = argval("--ldm-steps", 700)
+    guidance = 3.0
+
+    import dataclasses
+
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from ldm_image_generator_tpu.config import (
+        DDPMConfig, DiscriminatorConfig, UNetConfig, VAEConfig,
+    )
+    from ldm_image_generator_tpu.data import BatchLoader, ImageDataset
+    from ldm_image_generator_tpu.diffusion import make_schedule
+    from ldm_image_generator_tpu.models import (
+        Decoder, Discriminator, Encoder, UNet, VectorQuantizer,
+    )
+    from ldm_image_generator_tpu.pipelines import LDMPipeline
+    from ldm_image_generator_tpu.train import (
+        LDMTrainState, VAETrainState, make_ldm_train_step,
+        make_optimizer, make_vae_train_step,
+    )
+    from ldm_image_generator_tpu.utils.quality import (
+        kid_mean_std, patch_features,
+    )
+    from ldm_image_generator_tpu.cli.common import save_image
+
+    qdir = os.path.join(REPO, "quality")
+    os.makedirs(qdir, exist_ok=True)
+    data_dir = os.path.join(qdir, "cond_dataset")
+    n_classes = build_labeled_dataset(data_dir)
+    class_dirs = [os.path.join(data_dir, f"class_{c}")
+                  for c in range(n_classes)]
+    print(f"dataset: {n_classes} classes x 48 crops at 256px", flush=True)
+
+    mlog = open(os.path.join(qdir, "cond_metrics.jsonl"), "w")
+
+    def log(rec):
+        rec["t"] = round(time.time(), 1)
+        mlog.write(json.dumps(rec) + "\n")
+        mlog.flush()
+        print(json.dumps(rec), flush=True)
+
+    key = jax.random.PRNGKey(0)
+    vcfg, dcfg = VAEConfig(), DiscriminatorConfig()
+    ucfg = dataclasses.replace(UNetConfig(), num_classes=n_classes)
+    ddpm_cfg = DDPMConfig()
+
+    # ---- 1. VAE+GAN on all classes pooled (quality_gate.py recipe) ------
+    enc = Encoder(vcfg, dtype=jnp.bfloat16)
+    dec = Decoder(vcfg, dtype=jnp.bfloat16)
+    q = VectorQuantizer(vcfg.num_embeddings, vcfg.embedding_dim)
+    disc = Discriminator(dcfg, dtype=jnp.bfloat16)
+    crop = 192
+    img0 = jnp.zeros((1, crop, crop, 3))
+    z0 = jnp.zeros((1, crop // vcfg.downscale, crop // vcfg.downscale,
+                    vcfg.latent_channels))
+    vp = {
+        "encoder": enc.init(key, img0)["params"],
+        "decoder": dec.init(key, z0)["params"],
+        "quantizer": q.init(
+            key, z0.reshape(1, -1, vcfg.embedding_dim))["params"],
+    }
+    disc_p = disc.init(key, img0)["params"]
+    tx_v, tx_d = make_optimizer("adafactor"), make_optimizer("adafactor")
+    vstate = VAETrainState(
+        vae_params=vp, disc_params=disc_p, opt_state_vae=tx_v.init(vp),
+        opt_state_disc=tx_d.init(disc_p), step=jnp.zeros((), jnp.int32),
+    )
+    vstep = jax.jit(
+        make_vae_train_step(enc, dec, q, disc, tx_v, tx_d, crop_size=crop),
+        donate_argnums=(0,),
+    )
+    ds = ImageDataset(class_dirs, size=256,
+                      cache_dir=os.path.join(qdir, "cond_cache"))
+    loader = BatchLoader(ds, 8, seed=1)
+    t0 = time.time()
+    step_count = 0
+    while step_count < vae_steps:
+        for images in loader:
+            vstate, vm, _ = vstep(vstate, jnp.asarray(images),
+                                  jax.random.fold_in(key, step_count))
+            step_count += 1
+            if step_count % 100 == 0:
+                log({"phase": "vae", "step": step_count,
+                     "recon": round(float(vm["recon"]), 4)})
+            if step_count >= vae_steps:
+                break
+    log({"phase": "vae_done", "steps": step_count,
+         "sec": round(time.time() - t0, 1)})
+
+    # ---- 2. encode per class; per-class real features --------------------
+    enc_params = {"params": vstate.vae_params["encoder"]}
+    encode = jax.jit(lambda x: enc.apply(enc_params, x))
+    labels_np = np.asarray(ds.labels, np.int32)
+    real = np.stack([ds[i] for i in range(len(ds))])
+    latents = []
+    for i in range(0, len(real), 8):
+        batch = real[i:i + 8]
+        pad = 8 - len(batch)
+        if pad:
+            batch = np.concatenate(
+                [batch, np.zeros_like(batch[:1]).repeat(pad, 0)])
+        latents.append(np.asarray(encode(jnp.asarray(batch)))[:8 - pad])
+    latents = np.concatenate(latents)[: len(real)]
+    feats_by_class = {}
+    for c in range(n_classes):
+        zc = latents[labels_np == c]
+        m = (len(zc) // 8) * 8
+        feats_by_class[c] = jnp.concatenate([
+            patch_features(jnp.asarray(zc[i:i + 8], jnp.float32))
+            for i in range(0, m, 8)
+        ])
+    log({"phase": "encoded", "latents": list(latents.shape)})
+
+    # ---- 3. conditional LDM training on frozen latents -------------------
+    unet = UNet(ucfg, dtype=jnp.bfloat16)
+    t1 = jnp.zeros((1,), jnp.int32)
+    up = unet.init({"params": key, "moe": key, "sd": key},
+                   jnp.asarray(latents[:1]), t1)
+    schedule = make_schedule(ddpm_cfg)
+    tx = make_optimizer("adamw", 1e-4)
+    lstate = LDMTrainState(params=up, opt_state=tx.init(up),
+                           step=jnp.zeros((), jnp.int32))
+    lstep = jax.jit(
+        make_ldm_train_step(unet, schedule, tx, num_classes=n_classes,
+                            cond_drop=0.1),
+        donate_argnums=(0,),
+    )
+    pipe = LDMPipeline(ucfg, vcfg, ddpm_cfg, dtype=jnp.bfloat16)
+    dec_params = {"params": vstate.vae_params["decoder"]}
+
+    def eval_cond(params, tag):
+        """Per-class guided grids; KID of class-c samples vs every
+        class's real features. Returns the KID matrix [c_fake][c_real]."""
+        mat = []
+        for c in range(n_classes):
+            cond = jnp.full((8,), c, jnp.int32)
+            imgs = pipe.sample(params, dec_params, jax.random.PRNGKey(42 + c),
+                               batch=8, image_size=256, num_steps=20,
+                               condition=cond, guidance_scale=guidance)
+            imgs = np.asarray(jax.device_get(imgs))
+            grid = imgs.reshape(2, 4, 256, 256, 3).transpose(
+                0, 2, 1, 3, 4).reshape(2 * 256, 4 * 256, 3)
+            save_image(grid, os.path.join(qdir, f"cond_{tag}_class{c}.jpg"))
+            fake = jnp.asarray(imgs.astype(np.float32) / 127.5 - 1.0)
+            ff = patch_features(encode(fake).astype(jnp.float32))
+            row = []
+            for cr in range(n_classes):
+                m, _ = kid_mean_std(feats_by_class[cr], ff,
+                                    jax.random.PRNGKey(7))
+                row.append(round(float(m), 5))
+            mat.append(row)
+        return mat
+
+    evals = [0, ldm_steps // 2, ldm_steps]
+    kmats = []
+    rng = np.random.default_rng(3)
+    t0 = time.time()
+    step_count = 0
+    while True:
+        if step_count in evals:
+            mat = eval_cond(lstate.params, f"step{step_count:05d}")
+            diag = float(np.mean([mat[c][c] for c in range(n_classes)]))
+            off = float(np.mean([mat[c][cr] for c in range(n_classes)
+                                 for cr in range(n_classes) if cr != c]))
+            kmats.append({"step": step_count, "kid_matrix": mat,
+                          "diag": round(diag, 5), "offdiag": round(off, 5)})
+            log({"phase": "kid", **kmats[-1]})
+        if step_count >= ldm_steps:
+            break
+        idx = rng.choice(len(latents), 8, replace=False)
+        lstate, lm = lstep(lstate, jnp.asarray(latents[idx]),
+                           jax.random.fold_in(jax.random.PRNGKey(5),
+                                              step_count),
+                           jnp.asarray(labels_np[idx]))
+        step_count += 1
+        if step_count % 100 == 0:
+            log({"phase": "ldm", "step": step_count,
+                 "loss": round(float(lm["loss"]), 4)})
+    log({"phase": "ldm_done", "steps": step_count,
+         "sec": round(time.time() - t0, 1)})
+
+    final = kmats[-1]
+    result = {
+        # conditioning steers: diagonal KID beats off-diagonal at the end,
+        # and the diagonal improved over training
+        "ok": bool(final["diag"] < final["offdiag"]
+                   and final["diag"] < kmats[0]["diag"]),
+        "kid_trend": kmats,
+        "guidance_scale": guidance,
+        "classes": len(CLASS_SOURCES),
+        "vae_steps": vae_steps,
+        "ldm_steps": ldm_steps,
+        "config": "default 385.7M UNet + class embedding, CFG drop 0.1",
+    }
+    with open(os.path.join(REPO, "QUALITY_COND_r03.json"), "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()
