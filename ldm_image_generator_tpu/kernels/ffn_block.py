@@ -189,6 +189,13 @@ def _pick_tiles(n: int, c: int, m: int):
         else:
             break
     fits = weight_bytes(mk) + tile_bytes(tm) <= 12 * 1024 * 1024
+    # NOTE (measured, do not "optimize"): growing row tiles beyond 512
+    # to cut per-tile weight re-streaming was tried (tm up to 2048 with
+    # mk shrunk to fit a 10MB budget) and measured in-model: b64 neutral
+    # (16.97 vs 16.91 ms), b1 -4% (3.13 vs 3.27), but b8 REGRESSED 2x
+    # (8.43 vs 4.54 ms) — Mosaic's DMA/compute overlap already hides the
+    # re-fetches, and the larger tiles cost pipelining granularity. The
+    # 512-row tile stands.
     if n <= tm:
         # single row tile: chunk the hidden dim anyway so Mosaic can
         # pipeline the weight DMAs across grid steps — measured ~2x
