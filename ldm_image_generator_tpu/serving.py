@@ -384,6 +384,18 @@ class SamplerServer:
         _NO_WORK (idle poll — a variant key itself may be None)."""
         top = self.buckets[-1]
         while True:
+            # drain everything already queued FIRST (non-blocking).
+            # Without this, a saturated server dribbles out batch-1
+            # dispatches: while a batch computes, requests age past
+            # max_wait in the queue, so the old flow returned after
+            # pulling a single one (measured: mean_batch 1.08 and
+            # 6 img/s instead of full buckets, benchmarks/serving_bench).
+            try:
+                while True:
+                    r = self._q.get_nowait()
+                    pending.setdefault(r.variant, []).append(r)
+            except queue.Empty:
+                pass
             # dispatch when: some variant fills the top bucket, or the
             # globally-oldest request has waited max_wait
             ready = None

@@ -428,3 +428,29 @@ def test_http_img2img_surface():
     finally:
         httpd.shutdown()
         srv.stop()
+
+
+def test_saturated_server_dispatches_full_buckets():
+    """Regression (found by benchmarks/serving_bench.py): while a batch
+    computes, queued requests age past max_wait — the group-taker must
+    still coalesce the backlog into full buckets, not dribble batch-1
+    dispatches (measured 6 img/s instead of batched throughput)."""
+    def slow_fn(keys, batch):
+        time.sleep(0.05)  # simulated device time: lets the queue fill
+        imgs = jax.vmap(
+            lambda k: jax.random.uniform(k, (8, 8, 3), maxval=255.0)
+        )(keys)
+        return imgs.astype(jnp.uint8)
+
+    srv = SamplerServer(slow_fn, batch_buckets=(1, 2, 8), max_wait_ms=5)
+    srv.warmup()
+    with srv:
+        pool = [threading.Thread(target=srv.sample_sync, args=(s,),
+                                 kwargs={"timeout": 60})
+                for s in range(32)]
+        [t.start() for t in pool]
+        [t.join(timeout=60) for t in pool]
+    assert srv.stats.images == 32
+    # saturated: after the first (possibly small) dispatch the backlog
+    # must coalesce — well above batch-1 dribble on average
+    assert srv.stats.mean_batch >= 4, srv.stats.snapshot()
