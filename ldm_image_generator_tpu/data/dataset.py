@@ -102,6 +102,12 @@ class ImageDataset:
         self.size = size
         self.n_workers = n_workers
         self.paths, self.labels = _find_images(source_dirs)
+        if not self.paths:
+            # fail fast with the searched dirs: the reference trains
+            # silently over an empty loader (zero steps, no error)
+            raise ValueError(
+                f"no .jpg/.png images found under {list(source_dirs)}"
+            )
         if max_len and max_len > 0:
             self.paths = self.paths[:max_len]
             self.labels = self.labels[:max_len]

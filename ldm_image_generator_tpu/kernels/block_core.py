@@ -410,7 +410,7 @@ def _pick_row_tile(hh: int, ww: int, c: int, m: int):
 
 
 def block_core_supported(x_shape, hidden: int, group_width: int,
-                         film_batch: int) -> bool:
+                         film_batch: int, dtype=None) -> bool:
     """Whether the megakernel is the right backend for this shape.
 
     Measured regime split (docs/PERF.md): the whole-block kernel wins
@@ -422,6 +422,11 @@ def block_core_supported(x_shape, hidden: int, group_width: int,
     image exceeds the VMEM envelope (latent-64 C>=256 stages) run the
     row-banded schedule (_row_kernel) instead of falling back."""
     b, hh, ww, c = x_shape
+    if dtype is not None and jnp.dtype(dtype).itemsize != 2:
+        # the VMEM envelope above is CALIBRATED on bf16 operands
+        # (observed Mosaic compiles); fp32 (-fp16 false) doubles every
+        # term and was never measured — take the XLA path
+        return False
     if not (
         jax.default_backend() in ("tpu", "axon")
         and b <= 2

@@ -167,20 +167,26 @@ def _kernel(eps, out_dtype, quantized: bool = False):
     return kernel
 
 
-def _pick_tiles(n: int, c: int, m: int):
+def _pick_tiles(n: int, c: int, m: int, x_item: int = 2, w_item: int = 2):
     """(tile_rows, hidden_chunk, fits): keep resident weights + tiles
     within ~12MB of VMEM. Small stages run unchunked (nk=1, the round-1
     kernel schedule); C=1024 runs 4 chunks of 256. `fits` is False when
     no (tm, mk) meets the budget (mk floors at 256, tm at 128) — the
     dispatcher must then take the XLA path instead of handing Mosaic a
-    kernel that cannot compile."""
+    kernel that cannot compile.
+
+    x_item/w_item: element sizes of the activations/weights. The budget
+    must scale with the REAL dtypes: fp32 training (-fp16 false, the
+    reference's default) doubles both, and a hardcoded bf16 budget let
+    the C=1024 stage hand Mosaic an 18.5MB kernel (> 16MB scoped VMEM)
+    — found by a real fp32 train_ldm run on TPU, 2026-08-18."""
     tm = min(512, n)
     mk = m
-    # 3 ReGLUs x (2 [C, mk] + 1 [mk, C]) bf16 weight blocks resident,
+    # 3 ReGLUs x (2 [C, mk] + 1 [mk, C]) weight blocks resident,
     # double-buffered by Mosaic while streaming
-    weight_bytes = lambda mk_: 9 * c * mk_ * 2 * 2
-    # x/mul/bias/h/out row tiles (bf16) + the fp32 accumulator
-    tile_bytes = lambda tm_: tm_ * c * (5 * 2 + 4)
+    weight_bytes = lambda mk_: 9 * c * mk_ * w_item * 2
+    # x/mul/bias/h/out row tiles + the fp32 accumulator
+    tile_bytes = lambda tm_: tm_ * c * (5 * x_item + 4)
     while weight_bytes(mk) + tile_bytes(tm) > 12 * 1024 * 1024:
         if mk % 2 == 0 and mk > 256:
             mk //= 2
@@ -227,7 +233,8 @@ def ffn_block_pallas(x, film_mul, film_bias, gwa, gba, gwb, gbb, gwc, gbc,
     n, c = x.shape
     m = wa.shape[-1]
     e = wa.shape[0]
-    tm, mk, _ = _pick_tiles(n, c, m)
+    tm, mk, _ = _pick_tiles(n, c, m, jnp.dtype(x.dtype).itemsize,
+                            jnp.dtype(wa.dtype).itemsize)
     if not tile_rows or not hidden_chunk:
         # LDM_FFN_TM / LDM_FFN_MK: tuning-sweep overrides (same pattern
         # as window_attention's LDM_ATTN_TN; benchmarks/attn_inmodel.py)
@@ -347,9 +354,12 @@ def ffn_block(x, film_mul, film_bias, gwa, gba, gwb, gbb, gwc, gbc,
         jax.default_backend() in ("tpu", "axon")
         and x.shape[-1] % 128 == 0
         and wa.shape[-1] % 128 == 0
-        # VMEM feasibility: a config no (tile, chunk) schedule fits
-        # (e.g. C > 1024) must fall back rather than fail Mosaic compile
-        and _pick_tiles(x.shape[0], x.shape[-1], wa.shape[-1])[2]
+        # VMEM feasibility at the REAL dtypes: a config no (tile, chunk)
+        # schedule fits (e.g. C > 1024, or fp32 at C = 1024) must fall
+        # back rather than fail Mosaic compile
+        and _pick_tiles(x.shape[0], x.shape[-1], wa.shape[-1],
+                        jnp.dtype(x.dtype).itemsize,
+                        jnp.dtype(wa.dtype).itemsize)[2]
     ):
         from ldm_image_generator_tpu.kernels.dispatch import pallas_usable
 

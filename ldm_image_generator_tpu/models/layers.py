@@ -98,6 +98,9 @@ class MultiHeadAttention(nn.Module):
             use_fused
             and q_in is kv_in
             and c % 128 == 0
+            # the fused kernel's VMEM sizing was measured on 2-byte
+            # compute dtypes; fp32 (-fp16 false) runs the XLA path
+            and jnp.dtype(dt).itemsize == 2
             and jax.default_backend() in ("tpu", "axon")
         ):
             from ldm_image_generator_tpu.kernels.dispatch import pallas_usable
@@ -661,7 +664,8 @@ class SwinBlock(nn.Module):
             fuse_ffn
             and self._on("conv")
             and block_core_supported(
-                x.shape, c * self.ffn_mul, min(self.head_dim, c), film_batch
+                x.shape, c * self.ffn_mul, min(self.head_dim, c),
+                film_batch, dtype=self.dtype,
             )
         )
         fold_res = (

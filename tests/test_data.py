@@ -226,3 +226,11 @@ def test_load_raw_and_device_cast(imgdir, tmp_path):
             batch.astype(np.float32),
             np.stack([ds[0], ds[1]]),
         )
+
+
+def test_empty_dataset_fails_fast(tmp_path):
+    """An empty/missing source dir must error with the searched paths
+    (the reference trains silently over an empty loader)."""
+    with pytest.raises(ValueError, match="no .jpg/.png images"):
+        ImageDataset([str(tmp_path / "nope")],
+                     cache_dir=str(tmp_path / "c"), size=8)
