@@ -58,11 +58,16 @@ def block_core_xla(x, film_mul, film_bias,
     )
     h4 = h.reshape(x.shape)
     gw = conv_kernel.shape[2]
+    # fp32 for BOTH conv operands: mixing a bf16 kernel with the fp32
+    # cotangent (preferred_element_type) makes lax.conv's transpose rule
+    # raise under jax.vjp — hit by the b<=2 bf16 TRAINING path, whose
+    # custom VJP recomputes through this composition (_bc_bwd). This is
+    # the fallback/backward path only; the fused kernel serves the fwd.
     conv = jax.lax.conv_general_dilated(
-        h4, conv_kernel.astype(h4.dtype), (1, 1), "SAME",
+        h4.astype(jnp.float32), conv_kernel.astype(jnp.float32),
+        (1, 1), "SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=c // gw,
-        preferred_element_type=jnp.float32,
     ) + conv_bias.astype(jnp.float32)
     out = ffn.reshape(x.shape).astype(jnp.float32) + conv
     if add_residual:

@@ -23,7 +23,9 @@ class MetricLogger:
 
     def log(self, step: int, metrics: Dict, batch_size: Optional[int] = None,
             **extra) -> None:
-        if step % self.log_every != 0:
+        # elapsed-steps cadence (not step % N): callers may advance step
+        # by more than 1 per call (train_ldm --fused-steps)
+        if step - self._last_step < self.log_every:
             return
         now = time.perf_counter()
         dt = now - self._last_t

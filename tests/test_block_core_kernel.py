@@ -211,3 +211,29 @@ def test_swinblock_block_core_wiring_falls_back_on_cpu():
                       rngs={"moe": jax.random.PRNGKey(3)})
     assert out.shape == x.shape
     assert bool(jnp.isfinite(out).all())
+
+
+def test_block_core_xla_bf16_differentiable():
+    """Regression: the b<=2 bf16 TRAINING path differentiates through
+    block_core_xla (the custom VJP's recompute); a bf16 conv kernel
+    against the fp32 cotangent made lax.conv's transpose rule raise
+    (found by a real bf16 b2 train_ldm run on TPU)."""
+    import ldm_image_generator_tpu.kernels.block_core as bc
+
+    args = _setup(b=2, hh=6, ww=6, c=128, m=128, film_b=2)
+    args = tuple(
+        a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a
+        for a in args
+    )
+    (x, mul, bias, gwa, gba, gwb, gbb, gwc, gbc,
+     wa, ba, wb, bb, wc, bc_, ck, cb) = args
+
+    def f(x, ck):
+        out, h = bc.block_core_xla(
+            x, mul, bias, gwa, gba, gwb, gbb, gwc, gbc,
+            wa, ba, wb, bb, wc, bc_, ck, cb, 0, 2, add_residual=True)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    gx, gk = jax.grad(f, argnums=(0, 1))(x, ck)
+    assert gx.shape == x.shape and gk.shape == ck.shape
+    assert bool(jnp.isfinite(gx.astype(jnp.float32)).all())
