@@ -150,9 +150,13 @@ def test_vq_dispatcher_survives_forced_compile_failure(monkeypatch):
 
 
 def test_attention_dispatcher_survives_forced_compile_failure(monkeypatch):
+    import jax.numpy as jnp
+
     from ldm_image_generator_tpu.models.layers import MultiHeadAttention
 
-    mha = MultiHeadAttention(128, 4, backend="auto")
+    # bf16: the fused path only engages for 2-byte compute dtypes (fp32
+    # short-circuits to XLA before the probe — see the dtype gate)
+    mha = MultiHeadAttention(128, 4, backend="auto", dtype=jnp.bfloat16)
     x = jax.random.normal(jax.random.PRNGKey(0), (4, 16, 128))
     params = mha.init(jax.random.PRNGKey(1), x, x)
     want = mha.apply(params, x, x)  # CPU backend: XLA path
@@ -163,3 +167,10 @@ def test_attention_dispatcher_survives_forced_compile_failure(monkeypatch):
         got = mha.apply(params, x, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+    # and fp32 on a "TPU" backend silently uses XLA (no probe attempt,
+    # no warning) — the envelopes are bf16-calibrated
+    mha32 = MultiHeadAttention(128, 4, backend="auto")
+    p32 = mha32.init(jax.random.PRNGKey(1), x, x)
+    got32 = mha32.apply(p32, x, x)
+    assert got32.shape == x.shape
