@@ -221,14 +221,17 @@ def main(argv=None):
     n_fused = max(1, args.fused_steps)
     if n_fused > 1:
         # N train steps per dispatch as one lax.scan with donated state:
-        # one host->device round trip and one metrics readback per N
-        # steps instead of per step. On high-dispatch-latency links
-        # (this TPU tunnel: ~45ms/call) the per-call cost bounds fast
-        # steps — measured: bf16 b8 runs 6.8 steps/s unfused (33ms
-        # device step + ~110ms host/tunnel) vs the chained device rate
-        # of ~30 steps/s. Same per-step math and fold_in keys as the
-        # unfused loop; weights agree to float rounding (XLA fuses the
-        # scanned body in a different order — tested ~1e-6 rel).
+        # one dispatch + one metrics readback per N steps. Measured
+        # honestly (b8 bf16, one TPU chip over this tunnel): on an IDLE
+        # host the async unfused loop already pipelines — ~40 steps/s
+        # unfused vs ~29 fused (the scan is no win, default stays 1).
+        # Under host CPU contention (a concurrent test suite on this
+        # single-core box) the unfused loop collapsed to ~7 steps/s —
+        # per-step host work is what fusing amortizes; use it when the
+        # input pipeline or co-located work competes for the host. Same
+        # per-step math and fold_in keys as the unfused loop; weights
+        # agree to float rounding (XLA fuses the scanned body in a
+        # different order — tested ~1e-6 rel).
         @functools.partial(jax.jit, donate_argnums=(0,))
         def fused_step(state, batches, keys, labels=None):
             def body(s, xs):
