@@ -61,6 +61,12 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None):
     import functools
     args = build_parser().parse_args(argv)
+    if args.fused_steps > 1 and args.pipeline_stages > 1:
+        # scanning the GPipe shard_map schedule is untested on real
+        # meshes — refuse rather than silently claim support
+        raise SystemExit(
+            "--fused-steps and --pipeline-stages cannot be combined"
+        )
     from ldm_image_generator_tpu.cli.common import (
         ema_path,
         maybe_load,
