@@ -10,8 +10,16 @@ sample_ldm.py:19).
 Our pipeline runs the whole chain as one jitted program (see
 ldm_image_generator_tpu/pipelines.py). Weights are randomly initialized —
 identical compute graph/FLOPs as trained weights.
+
+Methodology (round 4): this host has ONE shared CPU core with heavy
+steal — single measurements vary up to ±60% (CLAUDE.md), and round 3's
+single-shot artifact recorded a -21% host-steal episode as the official
+number. Each metric now runs TRIALS interleaved trials (512px and 256px
+alternate, so a steal episode hits both rather than biasing one) and
+reports the MEDIAN, with per-trial values in the record.
 """
 import json
+import statistics
 import sys
 import time
 
@@ -26,8 +34,11 @@ BASELINE_IMAGES_PER_S = 0.092       # 256px e2e, reference CPU (BASELINE.md)
 # faster composition as the baseline to stay conservative.
 BASELINE_512_IMAGES_PER_S = 0.0322
 
+TRIALS = 3
+ITERS_PER_TRIAL = 5
 
-def measure(pipe, unet_params, dec_params, batch, image_size, n_iters=5):
+
+def make_runner(pipe, unet_params, dec_params, batch, image_size):
     def run(seed):
         imgs = pipe.sample(
             unet_params, dec_params, jax.random.PRNGKey(seed),
@@ -38,13 +49,16 @@ def measure(pipe, unet_params, dec_params, batch, image_size, n_iters=5):
         # block_until_ready can return before the device finishes)
         return jax.device_get(imgs)
 
-    run(0)  # warmup / compile
+    return run
+
+
+def one_trial(run, batch, image_size, trial):
     start = time.perf_counter()
-    for i in range(n_iters):
-        out = run(i + 1)
+    for i in range(ITERS_PER_TRIAL):
+        out = run(1 + trial * ITERS_PER_TRIAL + i)
     elapsed = time.perf_counter() - start
     assert out.shape == (batch, image_size, image_size, 3)
-    return (n_iters * batch) / elapsed
+    return (ITERS_PER_TRIAL * batch) / elapsed
 
 
 def main():
@@ -62,21 +76,27 @@ def main():
         jax.random.PRNGKey(1)
     )
 
-    ips_512 = measure(pipe, unet_params, dec_params, batch, 512)
-    print(json.dumps({
-        "metric": f"ldm_sample_512px_images_per_s_batch{batch}",
-        "value": round(ips_512, 4),
-        "unit": "images/s",
-        "vs_baseline": round(ips_512 / BASELINE_512_IMAGES_PER_S, 2),
-    }), flush=True)
+    sizes = (512, 256)
+    runners = {s: make_runner(pipe, unet_params, dec_params, batch, s)
+               for s in sizes}
+    for s in sizes:
+        runners[s](0)  # warmup / compile
+    trials = {s: [] for s in sizes}
+    for trial in range(TRIALS):
+        for s in sizes:  # interleaved: host steal hits both metrics
+            trials[s].append(one_trial(runners[s], batch, s, trial))
 
-    ips = measure(pipe, unet_params, dec_params, batch, 256)
-    print(json.dumps({
-        "metric": f"ldm_sample_256px_images_per_s_batch{batch}",
-        "value": round(ips, 4),
-        "unit": "images/s",
-        "vs_baseline": round(ips / BASELINE_IMAGES_PER_S, 2),
-    }), flush=True)
+    base = {512: BASELINE_512_IMAGES_PER_S, 256: BASELINE_IMAGES_PER_S}
+    for s in sizes:  # 256px last: the driver parses the final line
+        ips = statistics.median(trials[s])
+        print(json.dumps({
+            "metric": f"ldm_sample_{s}px_images_per_s_batch{batch}",
+            "value": round(ips, 4),
+            "unit": "images/s",
+            "vs_baseline": round(ips / base[s], 2),
+            "trials": [round(v, 4) for v in trials[s]],
+            "spread": [round(min(trials[s]), 4), round(max(trials[s]), 4)],
+        }), flush=True)
 
 
 if __name__ == "__main__":

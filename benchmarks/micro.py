@@ -49,7 +49,8 @@ def emit(metric, value, unit, baseline=None):
     print(json.dumps(rec), flush=True)
 
 
-TRAIN_CASES = ("ldm_b8", "ldm_b64", "ldm_b64_remat", "vae_gan")
+TRAIN_CASES = ("ldm_b8", "ldm_b64", "ldm_b64_fwdonly", "ldm_b64_nopt",
+               "ldm_b64_remat", "vae_gan")
 
 
 def main():
@@ -200,6 +201,67 @@ def run_train_case(case: str):
         tx = make_optimizer("adamw", 1e-4)
         step = make_ldm_train_step(unet, schedule, tx)
         xb = jax.random.normal(key, (batch, 32, 32, 8), jnp.float32)
+
+        if case in ("ldm_b64_fwdonly", "ldm_b64_nopt"):
+            # Per-segment attribution of the train step (round-3 verdict
+            # item 1): fwdonly = the exact training forward (loss value,
+            # stochastic depth ON, same rngs as the step); nopt adds
+            # value_and_grad but no optimizer. bwd = nopt - fwdonly;
+            # opt = full - nopt (each is the median-free single figure
+            # the segments are read from; run on an idle host).
+            from ldm_image_generator_tpu.diffusion import ddpm_loss
+
+            def loss_fn(params, x, k):
+                def denoise(x_t, t, kk):
+                    k_moe, k_sd = jax.random.split(kk)
+                    return unet.apply(
+                        params, x_t, t, None, deterministic=False,
+                        rngs={"moe": k_moe, "sd": k_sd},
+                    ).astype(jnp.float32)
+
+                return ddpm_loss(denoise, schedule, x, k, loss="l1")
+
+            # params travel as an ARGUMENT (a jit closing over the 385M
+            # tree bakes 1.5GB of constants and kills the remote compile)
+            if case == "ldm_b64_fwdonly":
+                @jax.jit
+                def chain(x, params):
+                    def body(c, i):
+                        loss = loss_fn(params, c,
+                                       jax.random.fold_in(key, i))
+                        return c + 0.0 * loss, loss
+
+                    return jax.lax.scan(body, x, jnp.arange(n))
+            else:
+                @jax.jit
+                def chain(x, params):
+                    def body(c, i):
+                        loss, grads = jax.value_and_grad(loss_fn)(
+                            params, c, jax.random.fold_in(key, i))
+                        # consume EVERY grad leaf so none is dead code
+                        # (~1-2 ms of reductions over the 385M tree —
+                        # negligible vs the backward itself)
+                        gsum = sum(jnp.sum(l.astype(jnp.float32))
+                                   for l in jax.tree.leaves(grads))
+                        return c + 0.0 * (loss + gsum), loss
+
+                    return jax.lax.scan(body, x, jnp.arange(n))
+
+            name = {"ldm_b64_fwdonly": "ldm_train_fwd_b64_latent32",
+                    "ldm_b64_nopt": "ldm_train_fwdbwd_b64_latent32"}[case]
+            try:
+                _, out = chain(xb, up)
+                fence(out)
+                t0 = _t.perf_counter()
+                iters = 2
+                for _ in range(iters):
+                    _, out = chain(xb, up)
+                    fence(out)
+                emit(name, (_t.perf_counter() - t0) / (iters * n), "s/step")
+            except Exception as e:
+                print(json.dumps({"metric": name, "error": str(e)[:200]}),
+                      flush=True)
+            return
 
         @functools.partial(jax.jit, donate_argnums=(0,))
         def chain(state):

@@ -17,10 +17,18 @@ real photos:
      samples and the real set, using the trained VAE encoder as the
      feature extractor.
 
-Writes quality/metrics.jsonl, quality/samples_step*.jpg grids, and
-QUALITY_r03.json {"ok": kid_end < kid_start, ...} at the repo root.
+Round 4 extends the horizon (default 4000 LDM steps), tracks an EMA of
+the UNet weights (decay 0.999 — standard diffusion practice; the raw
+weights stay the gated metric for round-over-round comparability), and
+closes the DPM-Solver++ claim: at the final checkpoint the same KID is
+computed on real samples from `--sampler dpm++2m` at 10 steps — turning
+the ODE-error proxy (tests/test_dpm_solver.py) into a measurement.
 
-Run (TPU, ~30-60 min mostly compiles):
+Writes quality/metrics.jsonl, quality/samples_step*.jpg grids, and
+QUALITY_r04.json {"ok": kid_end < kid_start, kid_final, monotone_after
+_warmup, dpm2m_10step_kid, ...} at the repo root.
+
+Run (TPU, ~60-90 min mostly compiles):
     python benchmarks/quality_gate.py [--vae-steps N] [--ldm-steps N]
 """
 from __future__ import annotations
@@ -83,7 +91,7 @@ def main():
         int(sys.argv[sys.argv.index(name) + 1]) if name in sys.argv else d
     )
     vae_steps = argval("--vae-steps", 400)
-    ldm_steps = argval("--ldm-steps", 600)
+    ldm_steps = argval("--ldm-steps", 4000)
 
     import numpy as np
 
@@ -195,6 +203,8 @@ def main():
     log({"phase": "encoded", "latents": list(latents.shape)})
 
     # ---- 3. LDM training on frozen latents ------------------------------
+    from ldm_image_generator_tpu.train.steps import init_ema
+
     unet = UNet(ucfg, dtype=jnp.bfloat16)
     t1 = jnp.zeros((1,), jnp.int32)
     up = unet.init({"params": key, "moe": key, "sd": key},
@@ -202,16 +212,19 @@ def main():
     schedule = make_schedule(ddpm_cfg)
     tx = make_optimizer("adamw", 1e-4)
     lstate = LDMTrainState(params=up, opt_state=tx.init(up),
-                           step=jnp.zeros((), jnp.int32))
-    lstep = jax.jit(make_ldm_train_step(unet, schedule, tx),
+                           step=jnp.zeros((), jnp.int32),
+                           ema_params=init_ema(up))
+    lstep = jax.jit(make_ldm_train_step(unet, schedule, tx,
+                                        ema_decay=0.999),
                     donate_argnums=(0,))
 
     pipe = LDMPipeline(ucfg, vcfg, ddpm_cfg, dtype=jnp.bfloat16)
     dec_params = {"params": vstate.vae_params["decoder"]}
 
-    def eval_kid(params, tag):
+    def eval_kid(params, tag, sampler="ddim", num_steps=20):
         imgs = pipe.sample(params, dec_params, jax.random.PRNGKey(42),
-                           batch=16, image_size=256, num_steps=20)
+                           batch=16, image_size=256, num_steps=num_steps,
+                           sampler=sampler)
         imgs = np.asarray(jax.device_get(imgs))
         grid = imgs.reshape(4, 4, 256, 256, 3).transpose(
             0, 2, 1, 3, 4).reshape(4 * 256, 4 * 256, 3)
@@ -226,7 +239,8 @@ def main():
         return float(mean), float(std)
 
     kids = []
-    evals = [0, ldm_steps // 3, 2 * ldm_steps // 3, ldm_steps]
+    n_evals = 6
+    evals = sorted({ldm_steps * i // n_evals for i in range(n_evals + 1)})
     t0 = time.time()
     step_count = 0
     lat_loader = iter([])
@@ -234,8 +248,11 @@ def main():
     while True:
         if step_count in evals:
             m, s = eval_kid(lstate.params, f"step{step_count:05d}")
+            me, _ = eval_kid(lstate.ema_params,
+                             f"step{step_count:05d}_ema")
             kids.append({"step": step_count, "kid": round(m, 5),
-                         "kid_std": round(s, 5)})
+                         "kid_std": round(s, 5),
+                         "kid_ema": round(me, 5)})
             log({"phase": "kid", **kids[-1]})
         if step_count >= ldm_steps:
             break
@@ -250,15 +267,40 @@ def main():
     log({"phase": "ldm_done", "steps": step_count,
          "sec": round(time.time() - t0, 1)})
 
+    # DPM-Solver++(2M) at 10 steps on the FINAL weights: the claim
+    # "DDIM-20 quality in ~10 steps" measured on real samples through
+    # the production KID gate (round-3 verdict item 5 — previously an
+    # ODE-error proxy only)
+    dpm_kid, dpm_std = eval_kid(lstate.params, "final_dpm2m",
+                                sampler="dpm++2m", num_steps=10)
+    log({"phase": "dpm2m", "kid": round(dpm_kid, 5),
+         "kid_std": round(dpm_std, 5)})
+
+    # monotone after warmup: past the first third of training, each
+    # eval's KID is no worse than the previous eval + noise (2 sigma)
+    post = [k for k in kids if k["step"] >= ldm_steps // 3]
+    monotone = all(b["kid"] <= a["kid"] + 2 * a["kid_std"]
+                   for a, b in zip(post, post[1:]))
+    final_ddim = kids[-1]["kid"]
     result = {
-        "ok": bool(kids[-1]["kid"] < kids[0]["kid"]),
+        "ok": bool(final_ddim < kids[0]["kid"]),
         "kid_trend": kids,
+        "kid_final": final_ddim,
+        "kid_final_ema": kids[-1]["kid_ema"],
+        "kid_below_1": bool(min(final_ddim, kids[-1]["kid_ema"]) < 1.0),
+        "monotone_after_warmup": bool(monotone),
+        # dpm++2m-10 matches ddim-20 if within 2 sigma of the KID noise
+        "dpm2m_10step_kid": round(dpm_kid, 5),
+        "dpm2m_matches_ddim20": bool(
+            dpm_kid <= final_ddim + 2 * max(kids[-1]["kid_std"], dpm_std)
+        ),
         "vae_steps": vae_steps,
         "ldm_steps": ldm_steps,
+        "ema_decay": 0.999,
         "dataset": f"{n_imgs} real-photo 256px crops",
         "config": "default (385.7M UNet, 12.7M/13.2M VAE)",
     }
-    with open(os.path.join(REPO, "QUALITY_r03.json"), "w") as f:
+    with open(os.path.join(REPO, "QUALITY_r04.json"), "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result), flush=True)
     mlog.close()

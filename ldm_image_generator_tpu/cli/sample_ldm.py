@@ -29,6 +29,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="dpm++2m: 2nd-order solver, ~half the steps for "
                         "DDIM-20 quality")
     p.add_argument("-o", "--outdir", default="./ddpm_outputs/")
+    p.add_argument("-v", "--verbose", action="store_true",
+                   help="echo the per-step DDIM sigma schedule after "
+                        "sampling (the reference shows live sigma on its "
+                        "tqdm bar, ddpm.py:87; here the whole chain runs "
+                        "as one host-free scan, so the schedule — which "
+                        "is deterministic — is printed post-hoc)")
     p.add_argument("--config", default="default", choices=["default", "tiny"],
                    help="model size preset (tiny = test/debug scale)")
     p.add_argument("--quant", default="none", choices=["none", "int8"],
@@ -144,6 +150,20 @@ def main(argv=None):
     os.makedirs(args.outdir, exist_ok=True)
     for i in range(args.numimages):
         save_image(imgs[i], os.path.join(args.outdir, f"{i}.jpg"))
+    if args.verbose and args.sampler == "ddim":
+        import numpy as np
+
+        from ldm_image_generator_tpu.diffusion import make_schedule
+        from ldm_image_generator_tpu.diffusion.ddpm import ddim_step_pairs
+
+        sched = make_schedule(dcfg)
+        abar = np.asarray(sched.alpha_bar)
+        ts, ts_next = ddim_step_pairs(sched.num_timesteps, args.timesteps)
+        for t, tn in zip(ts, ts_next):
+            a_t, a_n = abar[t], abar[tn]
+            sigma = (args.eta * np.sqrt((1.0 - a_n) / (1.0 - a_t))
+                     * np.sqrt(max(1.0 - a_t / a_n, 0.0)))
+            print(f"step t={int(t):4d} -> {int(tn):4d}  sigma={sigma:.4f}")
     print(f"saved {args.numimages} images to {args.outdir}")
 
 

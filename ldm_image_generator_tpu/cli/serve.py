@@ -276,11 +276,22 @@ def make_handler(server, jpeg_encode, default_size=None):
             else:
                 self._send(404, b'{"error": "not found"}')
 
+        # A single request must not be able to exhaust host memory on
+        # this one-core box: cap the declared body size before reading
+        # it (16MB covers any sane base64 image payload) and bound the
+        # decoded image dimensions before the full pixel decode.
+        MAX_BODY_BYTES = 16 * 1024 * 1024
+        MAX_IMAGE_PIXELS = 64 * 1024 * 1024  # 8k x 8k
+
         def do_POST(self):
             url = urlparse(self.path)
             if url.path not in ("/sample", "/img2img"):
                 return self._send(404, b'{"error": "not found"}')
             n = int(self.headers.get("Content-Length", 0))
+            if n > self.MAX_BODY_BYTES:
+                return self._send(413, json.dumps(
+                    {"error": f"body too large ({n} bytes > "
+                              f"{self.MAX_BODY_BYTES})"}).encode())
             try:
                 body = json.loads(self.rfile.read(n) or b"{}")
                 seed = int(body.get("seed", 0))
@@ -297,6 +308,22 @@ def make_handler(server, jpeg_encode, default_size=None):
                     )
 
                     raw = base64.b64decode(body["image"])
+                    # header-only open (PIL reads just metadata) to
+                    # reject decompression bombs before the pixel decode;
+                    # PIL raises its own DecompressionBombError above
+                    # ~178M declared pixels — map that to 413 too
+                    from PIL import Image as _Image
+
+                    try:
+                        with _Image.open(io.BytesIO(raw)) as im:
+                            w, h = im.size
+                    except _Image.DecompressionBombError:
+                        return self._send(413, json.dumps(
+                            {"error": "image too large"}).encode())
+                    if w * h > self.MAX_IMAGE_PIXELS:
+                        return self._send(413, json.dumps(
+                            {"error": f"image too large ({w}x{h})"}
+                        ).encode())
                     payload = preprocess_image(
                         io.BytesIO(raw),
                         size if size is not None else default_size,

@@ -252,8 +252,14 @@ def main(argv=None):
             xs = (batches, keys) if labels is None else (
                 batches, keys, labels)
             state, ms = jax.lax.scan(body, state, xs)
-            # stacked [N] metric rows -> the last step's values
-            return state, {k: v[-1] for k, v in ms.items()}
+            # stacked [N] metric rows -> the last step's values, plus a
+            # group max per metric: jnp.max propagates NaN/inf, so a
+            # transient non-finite loss in steps 0..N-2 (invisible in
+            # v[-1]) still reaches assert_finite_metrics and the JSONL
+            # log, and spike magnitudes within the group stay observable
+            out = {k: v[-1] for k, v in ms.items()}
+            out.update({f"{k}_gmax": jnp.max(v) for k, v in ms.items()})
+            return state, out
 
         print(f"fused-steps: {n_fused} train steps per dispatch")
 
@@ -283,9 +289,20 @@ def main(argv=None):
     crossed = lambda prev, cur, every: prev // every != cur // every
     try:
         gstep = int(state.step)
+
+        def unfused_one(state, item, gstep):
+            latents, labels = (
+                item if num_classes > 0 else (item, None)
+            )
+            return step_fn(
+                state, jnp.asarray(latents),
+                jax.random.fold_in(key, gstep), labels
+            )
+
         for epoch in range(args.epoch):
             print(f"Epoch #{epoch}")
             buf = []
+            batch_idx = -1
             for batch_idx, item in enumerate(loader):
                 buf.append(item)
                 if len(buf) < n_fused:
@@ -293,13 +310,7 @@ def main(argv=None):
                 group, buf = buf, []
                 prev = gstep
                 if n_fused == 1:
-                    latents, labels = (
-                        group[0] if num_classes > 0 else (group[0], None)
-                    )
-                    state, metrics = step_fn(
-                        state, jnp.asarray(latents),
-                        jax.random.fold_in(key, gstep), labels
-                    )
+                    state, metrics = unfused_one(state, group[0], gstep)
                 else:
                     if num_classes > 0:
                         lat = jnp.stack([jnp.asarray(g[0]) for g in group])
@@ -324,6 +335,28 @@ def main(argv=None):
                 if crossed(batch_idx - n_fused, batch_idx, args.save_every):
                     save_all()
                     print("Model is saved!")
+            # Epoch end: flush the trailing len(loader) % n_fused batches
+            # through the unfused step. Silently dropping them skewed
+            # step counts vs unfused runs, and an epoch shorter than
+            # --fused-steps would otherwise train zero steps.
+            if buf and n_fused > 1:
+                if batch_idx + 1 < n_fused:
+                    print(f"warning: epoch yielded {batch_idx + 1} "
+                          f"batches < --fused-steps {n_fused}; "
+                          "running them unfused")
+                for item in buf:
+                    prev = gstep
+                    state, metrics = unfused_one(state, item, gstep)
+                    gstep += 1
+                    logger.log(gstep, metrics, batch_size=args.batch)
+                    if validator is not None and crossed(prev, gstep,
+                                                         args.val_every):
+                        logger.log_now(gstep, validator.run(state))
+                    if crossed(prev, gstep, 50):
+                        assert_finite_metrics(dict(metrics), gstep)
+                    if shutdown.requested:
+                        print("SIGTERM received — saving and exiting")
+                        raise KeyboardInterrupt
     except KeyboardInterrupt:
         print("interrupted — saving")
     finally:

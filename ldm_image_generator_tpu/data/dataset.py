@@ -115,6 +115,19 @@ class ImageDataset:
         self._cache_paths = [self._cache_path(p) for p in self.paths]
         self._build_cache()
 
+    def set_size(self, size: int) -> None:
+        """Re-target the dataset to a new image size (reference
+        ImageDataset.set_size, dataset.py:34). The reference rmtree-
+        rebuilds its whole cache; here the cache is content-addressed by
+        (file, size, pipeline version), so switching sizes just points
+        at a different key set and builds only what's missing — switching
+        back is free."""
+        if size == self.size:
+            return
+        self.size = size
+        self._cache_paths = [self._cache_path(p) for p in self.paths]
+        self._build_cache()
+
     # -- cache ------------------------------------------------------------
     def _cache_key(self, path: str) -> str:
         try:

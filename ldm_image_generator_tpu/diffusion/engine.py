@@ -85,9 +85,14 @@ class DDPM:
         guidance_scale: float = 1.0,
         params=None,
         key: Optional[jax.Array] = None,
+        use_autocast: Optional[bool] = None,
     ):
         """Reference DDPM.sample (ddpm.py:52-93): NHWC x_shape, linear or
         explicit step schedule, eta-DDIM; seed maps to a PRNG key.
+
+        use_autocast is accepted for drop-in call-site compatibility
+        (ddpm.py:52) and ignored: compute precision here is a property
+        of the model (its `dtype` attribute), not of the sampling call.
 
         guidance_scale enables classifier-free guidance when a condition
         is given: eps = eps_uncond + s * (eps_cond - eps_uncond). The

@@ -311,9 +311,14 @@ def test_fused_steps_matches_unfused(dataset_dir, tmp_path, monkeypatch):
 
     p1 = run(tmp_path / "unfused", 1)
     p2 = run(tmp_path / "fused", 2)
+    # fused-steps larger than the whole epoch (2 batches): every batch
+    # must flush through the unfused step at epoch end instead of being
+    # silently dropped (advisor r3) — same keys/steps as the unfused run
+    p3 = run(tmp_path / "fused3", 3)
 
     t1 = load_tree(p1)
     t2 = load_tree(p2)
+    t3 = load_tree(p3)
     assert jax.tree.structure(t1) == jax.tree.structure(t2)
     for a, b in zip(jax.tree.leaves(t1), jax.tree.leaves(t2)):
         # atol matters: near-zero bias entries make rtol meaningless
@@ -321,3 +326,8 @@ def test_fused_steps_matches_unfused(dataset_dir, tmp_path, monkeypatch):
         # scanned body's different fusion order)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=2e-5)
+    # the flush path runs the SAME unfused step_fn with the same fold_in
+    # keys, so it matches the unfused run exactly
+    for a, b in zip(jax.tree.leaves(t1), jax.tree.leaves(t3)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)

@@ -45,6 +45,25 @@ def test_dataset_cache_reused_not_rebuilt(imgdir, tmp_path):
     assert len(os.listdir(cache)) == 10
 
 
+def test_dataset_set_size(imgdir, tmp_path):
+    """Reference ImageDataset.set_size (dataset.py:34) counterpart:
+    re-targets the size in place; switching back to an already-built
+    size is free (content-addressed cache, no rmtree)."""
+    cache = str(tmp_path / "cache")
+    ds = ImageDataset([str(imgdir)], cache_dir=cache, size=8)
+    assert ds[0].shape == (8, 8, 3)
+    ds.set_size(4)
+    assert ds.size == 4
+    assert ds[0].shape == (4, 4, 3)
+    assert len(os.listdir(cache)) == 10  # both sizes cached
+    mtimes = sorted(os.path.getmtime(os.path.join(cache, f))
+                    for f in os.listdir(cache))
+    ds.set_size(8)  # switch back: nothing rebuilt
+    assert ds[0].shape == (8, 8, 3)
+    assert sorted(os.path.getmtime(os.path.join(cache, f))
+                  for f in os.listdir(cache)) == mtimes
+
+
 def test_dataset_getitem_and_corrupt_fallback(imgdir, tmp_path):
     cache = str(tmp_path / "cache")
     ds = ImageDataset([str(imgdir)], cache_dir=cache, size=8)

@@ -36,6 +36,11 @@ def test_ddpm_wrapper_loss_and_sample():
     out3 = ddpm.sample((1, 8, 8, 3), seed=0, schedule=[0, 10, 30, 49])
     assert out3.shape == (1, 8, 8, 3)
 
+    # use_autocast is accepted-and-ignored for reference call-site
+    # compatibility (ddpm.py:52: sample(..., use_autocast=True))
+    out4 = ddpm.sample((2, 8, 8, 3), seed=3, num_steps=4, use_autocast=True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out4))
+
 
 def test_vae_wrapper_roundtrip():
     cfg = VAEConfig().tiny()

@@ -425,6 +425,46 @@ def test_http_img2img_surface():
         assert r.status == 400
         r.read()
         conn.close()
+
+        # oversize declared body -> 413 BEFORE the body is read (a
+        # request must not be able to exhaust host memory, advisor r3)
+        conn2 = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        conn2.putrequest("POST", "/img2img")
+        conn2.putheader("Content-Type", "application/json")
+        conn2.putheader("Content-Length", str(64 * 1024 * 1024))
+        conn2.endheaders()
+        r = conn2.getresponse()
+        assert r.status == 413
+        r.read()
+        conn2.close()
+
+        # decompression bomb: tiny payload declaring 20000x20000 pixels
+        # -> 413 from the header-only dimension check, no pixel decode
+        import struct
+        import zlib
+
+        def png_with_dims(w, h):
+            sig = b"\x89PNG\r\n\x1a\n"
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+            out = sig
+            for tag, data in ((b"IHDR", ihdr),
+                              (b"IDAT", zlib.compress(b"\x00")),
+                              (b"IEND", b"")):
+                out += struct.pack(">I", len(data)) + tag + data
+                out += struct.pack(">I", zlib.crc32(tag + data))
+            return out
+
+        # 100M pixels: below PIL's own ~178M-pixel bomb guard, above the
+        # handler's 64M cap — exercises the explicit dimension check
+        bomb = base64.b64encode(png_with_dims(10000, 10000)).decode()
+        conn3 = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        conn3.request("POST", "/img2img",
+                      _json.dumps({"seed": 1, "image": bomb}),
+                      {"Content-Type": "application/json"})
+        r = conn3.getresponse()
+        assert r.status == 413
+        r.read()
+        conn3.close()
     finally:
         httpd.shutdown()
         srv.stop()
