@@ -389,6 +389,330 @@ def ffn_block(x, film_mul, film_bias, gwa, gba, gwb, gbb, gwc, gbc,
                          gbc, wa, ba, wb, bb, wc, bc, e1, e2)
 
 
+def _bwd_kernel(out_dtype):
+    """Backward of the FFN tower given h (saved from the forward — it is
+    a forward OUTPUT, so saving it is free) and the out-cotangent g:
+
+        per ReGLU r:  a_r = h @ wa_r + ba_r ; b_r = h @ wb_r + bb_r
+                      dg_r   = g @ wc_r^T
+                      da_r   = dg_r * relu(b_r)
+                      db_r   = dg_r * a_r * [b_r > 0]
+                      dwc_r += (a_r * relu(b_r))^T @ g
+                      dwa_r += h^T @ da_r ;  dwb_r += h^T @ db_r
+                      dba_r += sum_rows(da_r) ; dbb_r += sum_rows(db_r)
+                      dh    += da_r @ wa_r^T + db_r @ wb_r^T
+
+    Same 24-matmul FLOP count as the XLA-recompute VJP (6 recompute +
+    18 grad matmuls), but a/b/dg/da/db live only in VMEM and the weight
+    grads accumulate in fp32 VMEM blocks across row tiles — none of the
+    [N, M] intermediates ever round-trips HBM. Grid is (nk, nt) with the
+    hidden chunk OUTER so each weight-grad block stays resident while
+    every row tile streams past; dh is emitted as per-chunk partials
+    [nk, N, C] and summed (with the h-output cotangent) in XLA.
+    """
+
+    def kernel(sidx, h_ref, g_ref,
+               gwa, gba, gwb, gbb, gwc,
+               wa1, ba1, wb1, bb1, wc1,
+               wa2, ba2, wb2, bb2, wc2,
+               dgwa, dgba, dgwb, dgbb, dgwc,
+               dwa1, dba1, dwb1, dbb1, dwc1,
+               dwa2, dba2, dwb2, dbb2, dwc2,
+               dh_ref, *scratch):
+        from jax.experimental import pallas as pl
+
+        i = pl.program_id(1)
+        nt = pl.num_programs(1)
+
+        h = h_ref[:]
+        g = g_ref[:]
+        gf = g.astype(out_dtype)
+
+        def mm(x_, w_, contract_x=1, contract_w=0):
+            return jax.lax.dot_general(
+                x_, w_, (((contract_x,), (contract_w,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        # Weight grads accumulate in PERSISTENT VMEM SCRATCH and each
+        # output block is written exactly once (at the last row tile).
+        # Accumulating directly on output refs computed wrong values on
+        # hardware whenever BOTH grid dims were > 1 (verified
+        # 2026-08-18: nt>1 or nk>1 alone exact, nt>1 AND nk>1 off by up
+        # to 50% — Mosaic mis-schedules revisited accumulating outputs
+        # when sibling outputs advance every step). Scratch persists
+        # across grid steps by construction, so this is layout-safe.
+        def reglu_bwd(wa_, ba_, wb_, bb_, wc_,
+                      dwa_, dba_, dwb_, dbb_, dwc_,
+                      swa, sba, swb, sbb, swc):
+            wa2d = wa_[:].reshape(wa_.shape[-2], wa_.shape[-1])
+            wb2d = wb_[:].reshape(wb_.shape[-2], wb_.shape[-1])
+            wc2d = wc_[:].reshape(wc_.shape[-2], wc_.shape[-1])
+            a = mm(h, wa2d) + ba_[:].reshape(1, -1).astype(jnp.float32)
+            b = mm(h, wb2d) + bb_[:].reshape(1, -1).astype(jnp.float32)
+            relu_b = jnp.maximum(b, 0.0)
+            dg = mm(gf, wc2d, contract_x=1, contract_w=1)  # [tm, mk]
+            da = (dg * relu_b).astype(out_dtype)
+            db = (dg * a * (b > 0.0)).astype(out_dtype)
+            gate = (a * relu_b).astype(out_dtype)
+
+            @pl.when(i == 0)
+            def _init():
+                swa[:] = jnp.zeros_like(swa)
+                swb[:] = jnp.zeros_like(swb)
+                swc[:] = jnp.zeros_like(swc)
+                sba[:] = jnp.zeros_like(sba)
+                sbb[:] = jnp.zeros_like(sbb)
+
+            swa[:] += mm(h, da, contract_x=0, contract_w=0)
+            swb[:] += mm(h, db, contract_x=0, contract_w=0)
+            swc[:] += mm(gate, gf, contract_x=0, contract_w=0)
+            # bias grads: row-sum as a ones-matmul on the MXU. An
+            # in-kernel jnp.sum(axis=0) into a 1-row block computed
+            # WRONG values on hardware (verified 2026-08-18; interpret
+            # mode agrees with XLA). Every row of the (8, mk) block
+            # holds the sum; row 0 is sliced in XLA.
+            ones8 = jnp.ones((8, h.shape[0]), da.dtype)
+            sba[:] += mm(ones8, da)
+            sbb[:] += mm(ones8, db)
+
+            @pl.when(i == nt - 1)
+            def _flush():
+                dwa_[:] = swa[:].reshape(dwa_.shape)
+                dwb_[:] = swb[:].reshape(dwb_.shape)
+                dwc_[:] = swc[:].reshape(dwc_.shape)
+                dba_[:] = sba[:].reshape(dba_.shape)
+                dbb_[:] = sbb[:].reshape(dbb_.shape)
+
+            # dh contribution: da @ wa^T + db @ wb^T (contract hidden)
+            return (mm(da, wa2d, contract_x=1, contract_w=1)
+                    + mm(db, wb2d, contract_x=1, contract_w=1))
+
+        dh = reglu_bwd(gwa, gba, gwb, gbb, gwc,
+                       dgwa, dgba, dgwb, dgbb, dgwc, *scratch[0:5])
+        dh += reglu_bwd(wa1, ba1, wb1, bb1, wc1,
+                        dwa1, dba1, dwb1, dbb1, dwc1, *scratch[5:10])
+        dh += reglu_bwd(wa2, ba2, wb2, bb2, wc2,
+                        dwa2, dba2, dwb2, dbb2, dwc2, *scratch[10:15])
+        dh_ref[:] = dh.astype(out_dtype).reshape(dh_ref.shape)
+
+    return kernel
+
+
+def _pick_bwd_tiles(n: int, c: int, m: int):
+    """(tile_rows, hidden_chunk, fits) for the backward kernel.
+
+    VERIFIED ENVELOPE (hardware Mosaic compiles, 2026-08-18): Mosaic
+    double-buffers OUTPUT blocks as well as inputs, so the fp32
+    weight-grad accumulators count at 8B/elem, the bf16 weight chunks
+    at 4B/elem: 9*c*mk*12 total. Observed: C=512 mk=256 (14.2MB) and
+    C=1024 mk=128 (14.2MB) crash the remote compile helper; C=512
+    mk=128 / C=256 mk=256 / C=128 mk=128 (<=10.2MB) compile and run.
+    mk floors at 64 (half-lane matmuls beat falling back entirely);
+    below that `fits` is False and the dispatcher keeps the
+    XLA-recompute VJP.
+
+    C=1024 crashes the remote Mosaic compile at EVERY probed tiling
+    (mk 64/128/256, tm 128/256) including well-under-budget ones —
+    suspected internal limit on the dim-0-contraction (h^T @ da) with
+    1024-wide operands. Gated to the XLA fallback; that stage is ~6% of
+    the b64 backward FLOPs (6 blocks at N=1024 rows)."""
+    if c > 512:
+        return min(512, n), m, False
+    tm = min(512, n)
+    mk = m
+    # bf16 weight chunks (x2 dbuf) + fp32 out blocks (x2) + fp32 scratch
+    weight_bytes = lambda mk_: 9 * c * mk_ * 16
+    tile_bytes = lambda tm_: tm_ * c * 12  # h,g dbuf + dh partial dbuf
+    while weight_bytes(mk) + tile_bytes(tm) > 12 * 1024 * 1024:
+        if mk % 2 == 0 and mk > 64:
+            mk //= 2
+        elif tm > 128:
+            tm //= 2
+        else:
+            break
+    fits = weight_bytes(mk) + tile_bytes(tm) <= 12 * 1024 * 1024
+    return tm, mk, fits
+
+
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "tile_rows", "hidden_chunk"),
+)
+def ffn_block_bwd_pallas(h, g, gwa, gba, gwb, gbb, gwc,
+                         wa, ba, wb, bb, wc, expert_ids,
+                         interpret: bool = False, tile_rows: int = 0,
+                         hidden_chunk: int = 0):
+    """h, g: [N, C] (saved forward output h and the out-cotangent).
+    Returns (dh, dgwa, dgba, dgwb, dgbb, dgwc, dwa_s0, dba_s0, dwb_s0,
+    dbb_s0, dwc_s0, dwa_s1, ..., dwc_s1): dh [N, C] in h.dtype, weight
+    grads fp32 (accumulated in fp32; the caller casts/scatters)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, c = h.shape
+    m = wa.shape[-1]
+    e = wa.shape[0]
+    tm, mk, _ = _pick_bwd_tiles(n, c, m)
+    if tile_rows:
+        tm = min(tile_rows, n)
+    if hidden_chunk and m % hidden_chunk == 0:
+        mk = hidden_chunk
+    pad = (-n) % tm
+    if pad:
+        # zero cotangent rows contribute nothing to the weight grads
+        h = jnp.pad(h, ((0, pad), (0, 0)))
+        g = jnp.pad(g, ((0, pad), (0, 0)))
+    nt = (n + pad) // tm
+    nk = m // mk
+
+    gba2, gbb2 = gba.reshape(1, m), gbb.reshape(1, m)
+    ba2, bb2 = ba.reshape(e, 1, m), bb.reshape(e, 1, m)
+
+    def ser(k, i):
+        # Serpentine row order: forward on even hidden chunks, reverse
+        # on odd, so neither the h/g input blocks nor the dh output
+        # block index ever jumps backward when the outer chunk index k
+        # advances (i: nt-1 -> 0 was the jump). Accumulation order over
+        # row tiles is irrelevant to the weight grads.
+        return i + (k % 2) * (nt - 1 - 2 * i)
+
+    row = lambda: pl.BlockSpec((tm, c), lambda k, i, s: (ser(k, i), 0),
+                               memory_space=pltpu.VMEM)
+    g_in = lambda: pl.BlockSpec((c, mk), lambda k, i, s: (0, k),
+                                memory_space=pltpu.VMEM)
+    g_outw = lambda: pl.BlockSpec((mk, c), lambda k, i, s: (k, 0),
+                                  memory_space=pltpu.VMEM)
+    gb_in = lambda: pl.BlockSpec((1, mk), lambda k, i, s: (0, k),
+                                 memory_space=pltpu.VMEM)
+    e_in = lambda j: pl.BlockSpec((1, c, mk), lambda k, i, s: (s[j], 0, k),
+                                  memory_space=pltpu.VMEM)
+    e_outw = lambda j: pl.BlockSpec((1, mk, c), lambda k, i, s: (s[j], k, 0),
+                                    memory_space=pltpu.VMEM)
+    eb_in = lambda j: pl.BlockSpec((1, 1, mk), lambda k, i, s: (s[j], 0, k),
+                                   memory_space=pltpu.VMEM)
+    # weight-grad outputs: block index constant while i runs -> fp32
+    # accumulation in VMEM, one HBM write per (k, expert) block
+    d_in = lambda: pl.BlockSpec((c, mk), lambda k, i, s: (0, k),
+                                memory_space=pltpu.VMEM)
+    d_outw = lambda: pl.BlockSpec((mk, c), lambda k, i, s: (k, 0),
+                                  memory_space=pltpu.VMEM)
+    # bias-grad outputs travel as 8-row blocks (sum in row 0, rest
+    # zero): 1-row accumulating output blocks are wrong on hardware
+    db_in = lambda: pl.BlockSpec((8, mk), lambda k, i, s: (0, k),
+                                 memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nk, nt),
+        in_specs=[
+            row(), row(),
+            g_in(), gb_in(), g_in(), gb_in(), g_outw(),
+            e_in(0), eb_in(0), e_in(0), eb_in(0), e_outw(0),
+            e_in(1), eb_in(1), e_in(1), eb_in(1), e_outw(1),
+        ],
+        out_specs=[
+            d_in(), db_in(), d_in(), db_in(), d_outw(),
+            d_in(), db_in(), d_in(), db_in(), d_outw(),
+            d_in(), db_in(), d_in(), db_in(), d_outw(),
+            pl.BlockSpec((1, tm, c), lambda k, i, s: (k, ser(k, i), 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            s for _ in range(3) for s in (
+                pltpu.VMEM((c, mk), jnp.float32),   # dwa acc
+                pltpu.VMEM((8, mk), jnp.float32),   # dba acc
+                pltpu.VMEM((c, mk), jnp.float32),   # dwb acc
+                pltpu.VMEM((8, mk), jnp.float32),   # dbb acc
+                pltpu.VMEM((mk, c), jnp.float32),   # dwc acc
+            )
+        ],
+    )
+    f32 = jnp.float32
+    outs = pl.pallas_call(
+        _bwd_kernel(h.dtype),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((c, m), f32),      # dgwa
+            jax.ShapeDtypeStruct((8, m), f32),      # dgba (row 0)
+            jax.ShapeDtypeStruct((c, m), f32),      # dgwb
+            jax.ShapeDtypeStruct((8, m), f32),      # dgbb
+            jax.ShapeDtypeStruct((m, c), f32),      # dgwc
+            jax.ShapeDtypeStruct((c, m), f32),      # dwa slot 0
+            jax.ShapeDtypeStruct((8, m), f32),
+            jax.ShapeDtypeStruct((c, m), f32),
+            jax.ShapeDtypeStruct((8, m), f32),
+            jax.ShapeDtypeStruct((m, c), f32),
+            jax.ShapeDtypeStruct((c, m), f32),      # dwa slot 1
+            jax.ShapeDtypeStruct((8, m), f32),
+            jax.ShapeDtypeStruct((c, m), f32),
+            jax.ShapeDtypeStruct((8, m), f32),
+            jax.ShapeDtypeStruct((m, c), f32),
+            jax.ShapeDtypeStruct((nk, n + pad, c), h.dtype),  # dh partials
+        ],
+        interpret=interpret,
+    )(
+        expert_ids.astype(jnp.int32),
+        h, g,
+        gwa, gba2, gwb, gbb2, gwc,
+        wa, ba2, wb, bb2, wc,
+        wa, ba2, wb, bb2, wc,
+    )
+    dh = jnp.sum(outs[-1].astype(jnp.float32), axis=0)[:n]
+    bias_slots = {1, 3, 6, 8, 11, 13}
+    outs = [o[0:1] if j in bias_slots else o
+            for j, o in enumerate(outs[:-1])]
+    return (dh,) + tuple(outs)
+
+
+def _ffn_tower_bwd(x, film_mul, film_bias, gwa, gba, gwb, gbb, gwc, gbc,
+                   wa, ba, wb, bb, wc, bc, expert_ids, h, g, gh,
+                   interpret: bool = False, tile_rows: int = 0,
+                   hidden_chunk: int = 0):
+    """Full backward for the fused FFN block using the Pallas backward
+    kernel: FFN-tower grads from (h, g), then the norm/FiLM backward in
+    XLA (row-local elementwise), plus the h-output cotangent gh."""
+    e = wa.shape[0]
+    n, c = x.shape
+    (dh_ffn, dgwa, dgba, dgwb, dgbb, dgwc,
+     dwa0, dba0, dwb0, dbb0, dwc0,
+     dwa1, dba1, dwb1, dbb1, dwc1) = ffn_block_bwd_pallas(
+        h, g, gwa, gba, gwb, gbb, gwc, wa, ba, wb, bb, wc, expert_ids,
+        interpret=interpret, tile_rows=tile_rows,
+        hidden_chunk=hidden_chunk)
+    dh = dh_ffn + gh.astype(jnp.float32)
+
+    # output biases: d(bc) = sum over rows of g, for each tower
+    dbc_row = jnp.sum(g.astype(jnp.float32), axis=0)
+
+    # scatter the two selected experts' grads into the stacked arrays
+    def scatter(s0, s1, like):
+        z = jnp.zeros(like.shape, jnp.float32)
+        return z.at[expert_ids[0]].add(s0).at[expert_ids[1]].add(s1)
+
+    dwa = scatter(dwa0, dwa1, wa)
+    dba = scatter(dba0.reshape(-1), dba1.reshape(-1), ba)
+    dwb = scatter(dwb0, dwb1, wb)
+    dbb = scatter(dbb0.reshape(-1), dbb1.reshape(-1), bb)
+    dwc = scatter(dwc0, dwc1, wc)
+    dbc = jnp.zeros(bc.shape, jnp.float32).at[expert_ids[0]].add(
+        dbc_row).at[expert_ids[1]].add(dbc_row)
+
+    # norm + FiLM backward (h = channel_norm(x) * mul + bias)
+    _, nf_vjp = jax.vjp(
+        lambda x_, m_, b_: channel_norm(x_) * m_ + b_,
+        x, film_mul, film_bias,
+    )
+    dx, dmul, dbias = nf_vjp(dh.astype(h.dtype))
+
+    cast = lambda v, ref: v.astype(ref.dtype)
+    return (dx, dmul, dbias,
+            cast(dgwa, gwa), cast(dgba.reshape(-1), gba),
+            cast(dgwb, gwb), cast(dgbb.reshape(-1), gbb),
+            cast(dgwc, gwc), cast(dbc_row, gbc),
+            cast(dwa, wa), cast(dba, ba), cast(dwb, wb), cast(dbb, bb),
+            cast(dwc, wc), cast(dbc, bc))
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(16,))
 def _fused_ffn_block(x, film_mul, film_bias, gwa, gba, gwb, gbb, gwc, gbc,
                      wa, ba, wb, bb, wc, bc, expert_ids, quantized):
@@ -402,13 +726,57 @@ def _ffb_fwd(x, film_mul, film_bias, gwa, gba, gwb, gbb, gwc, gbc,
     out = ffn_block_pallas(x, film_mul, film_bias, gwa, gba, gwb, gbb,
                            gwc, gbc, wa, ba, wb, bb, wc, bc, expert_ids,
                            quantized=quantized)
+    # out[1] is h — saving it costs nothing extra to compute (it is a
+    # forward output) and lets the Pallas backward skip the norm/FiLM/
+    # projection recompute the old XLA-recompute VJP paid
     return out, (x, film_mul, film_bias, gwa, gba, gwb, gbb, gwc, gbc,
-                 wa, ba, wb, bb, wc, bc, expert_ids)
+                 wa, ba, wb, bb, wc, bc, expert_ids, out[1])
+
+
+def _bwd_kernel_usable(x, wa, quantized: bool) -> bool:
+    """Pallas backward availability: same shape rules as the forward,
+    full-precision weights only (the quantized path's straight-through
+    gradients go through fake_quantize in XLA).
+
+    OPT-IN (``LDM_FFN_BWD=pallas``) while a remote-Mosaic miscompile is
+    open: the kernel is exact in interpret mode and at nt==1 or nk==1 on
+    hardware, but with BOTH grid dims > 1 several weight grads and dh
+    come back wrong (up to ~0.5 rel) on this environment's Mosaic build.
+    Minimal repros of the structure (3 towers, scalar-prefetch block
+    maps, scratch accumulation, dg chain) are all exact — the trigger is
+    still being bisected (see /tmp/bwd_bisect*.py history). Until a
+    hardware-verified fix lands, training keeps the XLA-recompute VJP."""
+    import os
+
+    if quantized or os.environ.get("LDM_FFN_BWD", "") != "pallas":
+        return False
+    return (
+        jax.default_backend() in ("tpu", "axon")
+        and x.shape[-1] % 128 == 0
+        and wa.shape[-1] % 128 == 0
+        and jnp.dtype(x.dtype).itemsize == 2
+        and _pick_bwd_tiles(x.shape[0], x.shape[-1], wa.shape[-1])[2]
+    )
 
 
 def _ffb_bwd(quantized, res, g):
     (x, film_mul, film_bias, gwa, gba, gwb, gbb, gwc, gbc,
-     wa, ba, wb, bb, wc, bc, expert_ids) = res
+     wa, ba, wb, bb, wc, bc, expert_ids, h) = res
+    g_out, gh = g
+    if _bwd_kernel_usable(x, wa, quantized):
+        from ldm_image_generator_tpu.kernels.dispatch import pallas_usable
+
+        sig = ("bwd", h.shape, jnp.dtype(h.dtype).name, wa.shape)
+        thunk = lambda: ffn_block_bwd_pallas.lower(
+            *[jax.ShapeDtypeStruct(a.shape, a.dtype) for a in
+              (h, g_out, gwa, gba, gwb, gbb, gwc, wa, ba, wb, bb, wc,
+               expert_ids)],
+        ).compile()
+        if pallas_usable("ffn_block_bwd", sig, thunk):
+            return _ffn_tower_bwd(
+                x, film_mul, film_bias, gwa, gba, gwb, gbb, gwc, gbc,
+                wa, ba, wb, bb, wc, bc, expert_ids, h, g_out, gh,
+            ) + (None,)
     e1, e2 = expert_ids[0], expert_ids[1]
     _, vjp = jax.vjp(
         lambda *diff: ffn_block_xla(*diff, e1, e2),

@@ -88,6 +88,46 @@ def test_ffn_backend_pallas_falls_back_on_cpu():
     assert bool(jnp.isfinite(out).all())
 
 
+@pytest.mark.parametrize("tile_rows,hidden_chunk", [(0, 0), (32, 64)])
+def test_ffn_bwd_pallas_kernel_matches_xla_vjp(tile_rows, hidden_chunk):
+    """The Pallas BACKWARD kernel (round-4: replaces the XLA-recompute
+    VJP on TPU) must reproduce jax.vjp through ffn_block_xla exactly for
+    every input grad, including the stacked-expert scatter, the norm/
+    FiLM backward, and the h-output cotangent. (32, 64) exercises the
+    row-padding and hidden-chunk accumulation paths (n=100 % 32 != 0)."""
+    import ldm_image_generator_tpu.kernels.ffn_block as fb
+
+    args = _setup(n=100, c=128, m=128)
+    (x, mul, bias, gwa, gba, gwb, gbb, gwc, gbc,
+     wa, ba, wb, bb, wc, bc) = args
+    e1, e2 = 1, 3
+    ids = jnp.asarray([e1, e2], jnp.int32)
+
+    (out, h), vjp = jax.vjp(
+        lambda *diff: fb.ffn_block_xla(*diff, e1, e2),
+        x, mul, bias, gwa, gba, gwb, gbb, gwc, gbc,
+        wa, ba, wb, bb, wc, bc,
+    )
+    key = jax.random.PRNGKey(9)
+    g = jax.random.normal(key, out.shape)
+    gh = jax.random.normal(jax.random.fold_in(key, 1), h.shape)
+    ref = vjp((g, gh))
+
+    got = fb._ffn_tower_bwd(
+        x, mul, bias, gwa, gba, gwb, gbb, gwc, gbc,
+        wa, ba, wb, bb, wc, bc, ids, h, g, gh,
+        interpret=True, tile_rows=tile_rows, hidden_chunk=hidden_chunk,
+    )
+    assert len(got) == len(ref) == 15
+    names = ("dx", "dmul", "dbias", "dgwa", "dgba", "dgwb", "dgbb",
+             "dgwc", "dgbc", "dwa", "dba", "dwb", "dbb", "dwc", "dbc")
+    for name, a, b in zip(names, got, ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4,
+            err_msg=name,
+        )
+
+
 def test_ffn_block_custom_vjp_grads_match_xla():
     from unittest import mock
 
