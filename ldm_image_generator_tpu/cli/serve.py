@@ -12,10 +12,12 @@ requests are coalesced into fixed jitted batch buckets
     GET  /healthz                          -> {"ok": true, stats...}
     GET  /stats                            -> full counters + latency
                                               histograms (p50/p90/p99)
-    GET  /sample?seed=123[&size=512][&class_id=7] -> image/jpeg
-    POST /sample  {"seed": 123, "size": 512, "class_id": 7} -> image/jpeg
-    POST /img2img {"seed": 1, "image": "<base64>"[, "size", "class_id"]}
-                                           -> image/jpeg (needs
+    GET  /sample?seed=123[&size=512][&class_id=7][&guidance_scale=3.0]
+                                           -> image/jpeg
+    POST /sample  {"seed": 123, "size": 512, "class_id": 7,
+                   "guidance_scale": 3.0}  -> image/jpeg
+    POST /img2img {"seed": 1, "image": "<base64>"[, "size", "class_id",
+                   "guidance_scale"]}      -> image/jpeg (needs
                                               --img2img-strength > 0)
 
 class_id requires --num-classes (class-conditional checkpoints); omitted
@@ -24,6 +26,13 @@ conditional and unconditional requests share batches. /img2img requests
 batch like any other variant — the client image rides as a per-request
 payload row (SDEdit partial diffusion at the server's
 --img2img-strength).
+
+guidance_scale (per request; default --guidance-scale) buckets requests
+by COST, not by value: scale == 1.0 routes to the single-UNet-eval
+variant; any other scale routes to the CFG variant, where the scale
+rides as a traced f32 row — so requests with DIFFERENT scales coalesce
+into one batch and no scale ever triggers a recompile. Requires
+--num-classes (CFG guides against the learned null class).
 
 Requests are deterministic per seed and independent of how they get
 batched (each request contributes its own x_T via init_noise; eta=0).
@@ -73,8 +82,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "pass class_id (0..N-1); omitted = unconditional "
                         "(the learned null embedding)")
     p.add_argument("--guidance-scale", default=1.0, type=float,
-                   help="classifier-free guidance strength for "
-                        "conditional requests (1 = off)")
+                   help="default classifier-free guidance strength for "
+                        "requests that don't pass guidance_scale "
+                        "(1 = off; != 1 requires --num-classes)")
     p.add_argument("--img2img-strength", default=0.0, type=float,
                    help="also serve POST /img2img (SDEdit partial "
                         "diffusion from a client image) at this strength "
@@ -154,16 +164,37 @@ def make_sampler(args):
                 batch=batch, image_size=size, num_steps=args.timesteps,
                 sampler=args.sampler, init_noise=noise,
                 condition=class_ids,
-                guidance_scale=args.guidance_scale,
             )
 
         return pipeline_sample
 
-    def make_img2img_for_size(size: int):
+    def make_cfg_for_size(size: int):
         latent = size // vcfg.downscale
         noise_shape = (latent, latent, ucfg.input_channels)
 
-        def pipeline_img2img(keys, batch, class_ids=None, payload=None):
+        def pipeline_cfg(keys, batch, class_ids, guidance_scales):
+            # the guided bucket: per-request scales ride as a traced f32
+            # row (one compiled program for every scale; mixed-scale
+            # requests share the batch). Costs two UNet evals per step,
+            # which is why scale==1 requests route to pipeline_sample.
+            noise = jax.vmap(
+                lambda k: jax.random.normal(k, noise_shape, jnp.float32)
+            )(keys)
+            return pipe.sample(
+                unet_params, dec_params, jax.random.PRNGKey(0),
+                batch=batch, image_size=size, num_steps=args.timesteps,
+                sampler=args.sampler, init_noise=noise,
+                condition=class_ids, guidance_scales=guidance_scales,
+            )
+
+        return pipeline_cfg
+
+    def make_img2img_for_size(size: int, cfg: bool):
+        latent = size // vcfg.downscale
+        noise_shape = (latent, latent, ucfg.input_channels)
+
+        def pipeline_img2img(keys, batch, class_ids=None,
+                             guidance_scales=None, payload=None):
             # per-request determinism: each request's key seeds its OWN
             # forward-diffusion noise, so the result is independent of
             # batch composition (same contract as pipeline_sample)
@@ -174,24 +205,43 @@ def make_sampler(args):
                 unet_params, dec_params, enc_params, jax.random.PRNGKey(0),
                 payload, strength=args.img2img_strength,
                 num_steps=args.timesteps, sampler=args.sampler,
-                condition=class_ids, guidance_scale=args.guidance_scale,
-                fwd_noise=noise,
+                condition=class_ids, fwd_noise=noise,
+                guidance_scales=guidance_scales,
             )
 
-        return pipeline_img2img
+        if cfg:
+            return pipeline_img2img
 
+        def pipeline_plain(keys, batch, class_ids=None, payload=None):
+            return pipeline_img2img(keys, batch, class_ids,
+                                    payload=payload)
+
+        return pipeline_plain
+
+    from ldm_image_generator_tpu.serving import Variant
+
+    conditional = args.num_classes > 0
     variants = {s: make_for_size(s) for s in sizes}
+    if conditional:
+        for s in sizes:
+            variants[("cfg", s)] = Variant(
+                make_cfg_for_size(s), takes_guidance=True
+            )
     if args.img2img_strength > 0:
-        from ldm_image_generator_tpu.serving import Variant
-
         for s in sizes:
             variants[("img2img", s)] = Variant(
-                make_img2img_for_size(s), payload_shape=(s, s, 3)
+                make_img2img_for_size(s, cfg=False), payload_shape=(s, s, 3)
             )
+            if conditional:
+                variants[("cfg", "img2img", s)] = Variant(
+                    make_img2img_for_size(s, cfg=True),
+                    payload_shape=(s, s, 3), takes_guidance=True,
+                )
     return variants, sizes[0]
 
 
-def make_handler(server, jpeg_encode, default_size=None):
+def make_handler(server, jpeg_encode, default_size=None,
+                 default_guidance=1.0):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
             pass
@@ -204,19 +254,27 @@ def make_handler(server, jpeg_encode, default_size=None):
             self.wfile.write(body)
 
         def _sample(self, seed: int, size=None, class_id=None,
-                    payload=None, img2img=False):
+                    payload=None, img2img=False, guidance=None):
             # every failure mode maps to a specific HTTP status, never a
             # dropped connection: 503 shed, 504 ttl-expired, 400 bad
-            # variant/class_id/payload, 500 anything else
+            # variant/class_id/payload/guidance, 500 anything else
             from ldm_image_generator_tpu.serving import ServerOverloaded
 
-            variant = size
+            # guidance bucketing: scale 1.0 (after defaulting) rides the
+            # single-eval variant; anything else the CFG variant, where
+            # the scale is a traced per-request value (serving.py)
+            gs = default_guidance if guidance is None else guidance
+            use_cfg = gs != 1.0
+            size_eff = size if size is not None else default_size
             if img2img:
-                variant = ("img2img",
-                           size if size is not None else default_size)
+                variant = (("cfg", "img2img", size_eff) if use_cfg
+                           else ("img2img", size_eff))
+            else:
+                variant = ("cfg", size_eff) if use_cfg else size
             try:
                 fut = server.submit(seed, variant=variant,
-                                    class_id=class_id, payload=payload)
+                                    class_id=class_id, payload=payload,
+                                    guidance=gs if use_cfg else None)
             except ServerOverloaded as e:
                 self.send_response(503)
                 body = json.dumps({"error": str(e)}).encode()
@@ -268,11 +326,13 @@ def make_handler(server, jpeg_encode, default_size=None):
                     seed = int(q.get("seed", ["0"])[0])
                     size = self._parse_size(q.get("size", [None])[0])
                     cid = self._parse_size(q.get("class_id", [None])[0])
+                    raw_gs = q.get("guidance_scale", [None])[0]
+                    gs = float(raw_gs) if raw_gs is not None else None
                 except ValueError as e:
                     return self._send(
                         400, json.dumps({"error": f"bad arg: {e}"}).encode()
                     )
-                self._sample(seed, size, cid)
+                self._sample(seed, size, cid, guidance=gs)
             else:
                 self._send(404, b'{"error": "not found"}')
 
@@ -297,6 +357,8 @@ def make_handler(server, jpeg_encode, default_size=None):
                 seed = int(body.get("seed", 0))
                 size = self._parse_size(body.get("size"))
                 cid = self._parse_size(body.get("class_id"))
+                raw_gs = body.get("guidance_scale")
+                gs = float(raw_gs) if raw_gs is not None else None
                 payload = None
                 if url.path == "/img2img":
                     # {"image": base64 of any image format PIL reads}
@@ -335,7 +397,7 @@ def make_handler(server, jpeg_encode, default_size=None):
                     400, json.dumps({"error": f"bad request: {e}"}).encode()
                 )
             self._sample(seed, size, cid, payload,
-                         img2img=url.path == "/img2img")
+                         img2img=url.path == "/img2img", guidance=gs)
 
     return Handler
 
@@ -352,6 +414,9 @@ def main(argv=None):
 
     if not 0.0 <= args.img2img_strength <= 1.0:
         raise SystemExit("--img2img-strength must be in [0, 1]")
+    if args.guidance_scale != 1.0 and not args.num_classes:
+        raise SystemExit("--guidance-scale != 1 requires --num-classes "
+                         "(CFG guides against the learned null class)")
     pipelines, default_size = make_sampler(args)
     server = SamplerServer(pipelines, batch_buckets=args.buckets,
                            max_wait_ms=args.max_wait_ms,
@@ -371,7 +436,8 @@ def main(argv=None):
 
     httpd = ThreadingHTTPServer(
         (args.host, args.port),
-        make_handler(server, jpeg_encode, default_size),
+        make_handler(server, jpeg_encode, default_size,
+                     default_guidance=args.guidance_scale),
     )
     print(f"serving on http://{args.host}:{args.port}", flush=True)
     try:

@@ -135,9 +135,15 @@ class LDMPipeline:
                     rngs={"moe": k},
                 ).astype(jnp.float32)
 
+        # guidance_scale is either a static Python float (scale baked
+        # into the jitted program; != 1.0 selects CFG at trace time) or
+        # a traced f32 [batch] vector — per-REQUEST scales for the
+        # serving layer: one jitted program serves every scale, and
+        # requests with different scales coalesce into one batch.
+        per_sample = isinstance(guidance_scale, jnp.ndarray)
         use_cfg = (
             condition is not None
-            and guidance_scale != 1.0
+            and (per_sample or guidance_scale != 1.0)
             and self.unet_cfg.num_classes > 0
             and jnp.issubdtype(condition.dtype, jnp.integer)
         )
@@ -145,13 +151,17 @@ class LDMPipeline:
             return base
         if use_cfg:
             null = jnp.full_like(condition, self.unet_cfg.num_classes)
+            gs = (
+                guidance_scale.astype(jnp.float32)[:, None, None, None]
+                if per_sample else guidance_scale
+            )
 
             def denoise(x, t_vec, k):
                 # same key both branches: identical MoE routing isolates
                 # the conditioning signal in the guidance delta
                 pred_c = base(x, t_vec, k, condition)
                 pred_u = base(x, t_vec, k, null)
-                return pred_u + guidance_scale * (pred_c - pred_u)
+                return pred_u + gs * (pred_c - pred_u)
 
             return denoise
 
@@ -177,6 +187,7 @@ class LDMPipeline:
         steps: Optional[Tuple[int, ...]] = None,
         condition: Optional[jnp.ndarray] = None,
         guidance_scale: float = 1.0,
+        guidance_scales: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         """Returns uint8 images [batch, image_size, image_size, 3].
 
@@ -194,7 +205,10 @@ class LDMPipeline:
         condition: int class ids [batch] (requires unet_cfg.num_classes)
         or prebuilt condition tokens [batch, T, D]; guidance_scale != 1
         applies classifier-free guidance against the learned null class
-        (the capability the reference stubs out, ddpm.py:78)."""
+        (the capability the reference stubs out, ddpm.py:78).
+        guidance_scales: traced f32 [batch] per-sample scales overriding
+        guidance_scale — the serving layer's per-request CFG knob (one
+        compiled program for every scale)."""
         latent = image_size // self.vae_cfg.downscale
         shape = (batch, latent, latent, self.unet_cfg.input_channels)
         unet_params = cast_floating(unet_params, self.unet.dtype)
@@ -202,7 +216,9 @@ class LDMPipeline:
 
         denoise = self._denoise_fn(
             unet_params, latent, num_steps, steps, film_cache,
-            condition, guidance_scale,
+            condition,
+            guidance_scales if guidance_scales is not None
+            else guidance_scale,
         )
 
         if sampler == "dpm++2m":
@@ -238,6 +254,7 @@ class LDMPipeline:
         condition: Optional[jnp.ndarray] = None,
         guidance_scale: float = 1.0,
         fwd_noise: Optional[jnp.ndarray] = None,
+        guidance_scales: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         """Image-to-image / inpainting (SDEdit, arXiv:2108.01073): encode
         the input, diffuse it to t_start = strength * (T-1), then run the
@@ -291,7 +308,9 @@ class LDMPipeline:
 
         denoise = self._denoise_fn(
             unet_params, latent, num_steps, sub_steps, film_cache,
-            condition, guidance_scale,
+            condition,
+            guidance_scales if guidance_scales is not None
+            else guidance_scale,
         )
 
         project_fn = None

@@ -63,17 +63,23 @@ class ServerOverloaded(RuntimeError):
 class Variant:
     """A servable pipeline with optional per-request features.
 
-    fn is called as fn(keys, batch[, class_ids][, payload=...]):
-    class_ids rides when the server has num_classes set; payload (e.g.
-    an img2img init image) when payload_shape is declared — requests to
-    a payload variant MUST supply a payload of that per-request shape,
-    which the worker stacks to [batch, *payload_shape] (zero rows pad).
-    Bare callables passed to SamplerServer are wrapped as
-    Variant(fn) — the no-payload contract is unchanged."""
+    fn is called as fn(keys, batch[, class_ids][, guidance_scales]
+    [, payload=...]): class_ids rides when the server has num_classes
+    set; guidance_scales (f32 [batch], when takes_guidance) carries each
+    request's classifier-free-guidance strength as a TRACED vector — one
+    compiled program serves every scale and mixed-scale requests
+    coalesce into the same batch (requests without one, and batch
+    padding, ride as 1.0); payload (e.g. an img2img init image) when
+    payload_shape is declared — requests to a payload variant MUST
+    supply a payload of that per-request shape, which the worker stacks
+    to [batch, *payload_shape] (zero rows pad). Bare callables passed to
+    SamplerServer are wrapped as Variant(fn) — the no-payload contract
+    is unchanged."""
 
     fn: object
     payload_shape: Optional[Tuple[int, ...]] = None
     payload_dtype: object = np.float32
+    takes_guidance: bool = False
 
 
 # _take_group's "nothing to dispatch" sentinel — must be distinct from
@@ -91,6 +97,7 @@ class _Request:
     claimed: bool = False      # future already moved to RUNNING
     class_id: Optional[int] = None  # conditional servers only
     payload: Optional[np.ndarray] = None  # payload variants only
+    guidance: Optional[float] = None  # takes_guidance variants only
 
 
 # Log-spaced latency bucket upper bounds (milliseconds). The last bucket
@@ -248,15 +255,21 @@ class SamplerServer:
                                        v.payload_dtype)
                 np.asarray(self._dispatch(v, keys, b, None, payload))
 
-    def _dispatch(self, v: Variant, keys, bucket, ids, payload):
+    def _dispatch(self, v: Variant, keys, bucket, ids, payload,
+                  guidance=None):
         """Call a variant fn with exactly the features it declares.
-        ids=None means all-null on conditional servers."""
+        ids=None means all-null on conditional servers; guidance=None
+        means all-1.0 on takes_guidance variants."""
         args = [keys, bucket]
         if self.num_classes is not None:
             if ids is None:
                 ids = jax.numpy.full((bucket,), self.num_classes,
                                      jax.numpy.int32)
             args.append(ids)
+        if v.takes_guidance:
+            if guidance is None:
+                guidance = jax.numpy.ones((bucket,), jax.numpy.float32)
+            args.append(guidance)
         kwargs = {}
         if v.payload_shape is not None:
             kwargs["payload"] = payload
@@ -284,17 +297,19 @@ class SamplerServer:
     def submit(self, seed: int, variant: object = None,
                ttl_s: Optional[float] = None,
                class_id: Optional[int] = None,
-               payload: Optional[np.ndarray] = None) -> Future:
+               payload: Optional[np.ndarray] = None,
+               guidance: Optional[float] = None) -> Future:
         """Enqueue one image request; resolves to uint8 [H, W, 3].
 
         Raises ServerOverloaded when the queue is full (load shedding;
         callers/HTTP map this to 503 + retry-after). KeyError for an
         unknown variant; ValueError for a class_id on an unconditional
-        server or out of range, or for a missing/mis-shaped payload on a
-        payload variant. ttl_s (or the server default) bounds queue
-        time: expired requests resolve to TimeoutError without burning a
-        batch slot. Cancelling the returned future before dispatch also
-        frees the slot.
+        server or out of range, for a missing/mis-shaped payload on a
+        payload variant, or for a guidance scale on a variant that does
+        not take one (or a non-finite one). ttl_s (or the server
+        default) bounds queue time: expired requests resolve to
+        TimeoutError without burning a batch slot. Cancelling the
+        returned future before dispatch also frees the slot.
         """
         if variant is None:
             variant = self._default_variant
@@ -316,6 +331,14 @@ class SamplerServer:
             raise ValueError(
                 f"variant {variant!r} does not take a payload"
             )
+        if guidance is not None:
+            if not v.takes_guidance:
+                raise ValueError(
+                    f"variant {variant!r} does not take a guidance scale"
+                )
+            guidance = float(guidance)
+            if not np.isfinite(guidance):
+                raise ValueError(f"non-finite guidance scale {guidance}")
         if class_id is not None:
             if self.num_classes is None:
                 raise ValueError(
@@ -333,7 +356,8 @@ class SamplerServer:
         now = time.monotonic()
         req = _Request(int(seed), variant, fut, now,
                        now + ttl if ttl is not None else None,
-                       class_id=class_id, payload=payload)
+                       class_id=class_id, payload=payload,
+                       guidance=guidance)
         try:
             self._q.put_nowait(req)
         except queue.Full:
@@ -468,8 +492,18 @@ class SamplerServer:
                     payload = np.stack(
                         [r.payload for r in group] + [zero] * pad
                     )
+                guidance = None
+                if v.takes_guidance:
+                    # per-request scales ride as a traced vector; None
+                    # and padding are 1.0 (plain conditional sampling)
+                    guidance = jax.numpy.asarray(
+                        [1.0 if r.guidance is None else r.guidance
+                         for r in group] + [1.0] * pad,
+                        jax.numpy.float32,
+                    )
                 imgs = np.asarray(
-                    self._dispatch(v, keys, bucket, ids, payload)
+                    self._dispatch(v, keys, bucket, ids, payload,
+                                   guidance)
                 )
                 self.stats.add(batches=1, images=len(group),
                                padded_images=pad)

@@ -131,6 +131,40 @@ def test_pipeline_guidance_scale_changes_output():
     assert np.any(np.asarray(guided) != np.asarray(plain_c))
 
 
+def test_per_sample_guidance_scales_match_static():
+    """guidance_scales (traced f32 [batch]) must reproduce the static
+    guidance_scale per row: mixed-scale requests coalesced into one
+    batch (the serving layer's CFG bucketing) sample exactly what each
+    request would get in a single-scale batch."""
+    from ldm_image_generator_tpu.pipelines import LDMPipeline
+
+    ucfg = cond_cfg()
+    vcfg = VAEConfig().tiny()
+    pipe = LDMPipeline(ucfg, vcfg, DDPMConfig(), dtype=jnp.float32)
+    key = jax.random.PRNGKey(0)
+    z = jnp.zeros((1, 8, 8, ucfg.input_channels), jnp.float32)
+    t = jnp.zeros((1,), jnp.int32)
+    up = pipe.unet.init({"params": key, "moe": key}, z, t)
+    dp = pipe.decoder.init(jax.random.PRNGKey(1), z)
+
+    cond = jnp.asarray([1, 2], jnp.int32)
+    kw = dict(batch=2, image_size=16, num_steps=4, condition=cond)
+    seed = jax.random.PRNGKey(2)
+    mixed = pipe.sample(up, dp, seed,
+                        guidance_scales=jnp.asarray([1.0, 3.0]), **kw)
+    static1 = pipe.sample(up, dp, seed, guidance_scale=1.0, **kw)
+    static3 = pipe.sample(up, dp, seed, guidance_scale=3.0, **kw)
+    # scale-1.0 row: CFG with gs=1 collapses to the conditional branch
+    # (pred_u + 1*(pred_c - pred_u)); allow one uint8 rounding step
+    assert np.max(np.abs(np.asarray(mixed[0], np.int32)
+                         - np.asarray(static1[0], np.int32))) <= 1
+    # scale-3.0 row matches the statically-baked 3.0 program
+    assert np.max(np.abs(np.asarray(mixed[1], np.int32)
+                         - np.asarray(static3[1], np.int32))) <= 1
+    # and the two rows really got different guidance
+    assert np.any(np.asarray(mixed[1]) != np.asarray(static1[1]))
+
+
 def test_conditional_train_step_runs_and_learns():
     from ldm_image_generator_tpu.train import (
         LDMTrainState,

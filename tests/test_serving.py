@@ -359,6 +359,145 @@ def test_payload_variant_batching_and_validation():
         srv.submit(0, variant="gen", payload=np.zeros((4, 4, 3)))
 
 
+def test_guidance_variant_batching_and_validation():
+    from ldm_image_generator_tpu.serving import Variant
+
+    def fn(keys, batch, guidance_scales):
+        # encode each request's scale into its image so the test can
+        # verify per-request guidance routing through batching
+        imgs = jnp.broadcast_to(
+            guidance_scales[:, None, None, None], (batch, 8, 8, 3)
+        )
+        return imgs.astype(jnp.uint8)
+
+    srv = SamplerServer(
+        {"gen": make_tiny_sample(),
+         "cfg": Variant(fn, takes_guidance=True)},
+        batch_buckets=(1, 2, 4), max_wait_ms=20,
+    )
+    srv.warmup()
+    with srv:
+        f1 = srv.submit(1, variant="cfg", guidance=7.0)
+        f2 = srv.submit(2, variant="cfg", guidance=9.0)
+        f3 = srv.submit(3, variant="cfg")  # no scale -> rides as 1.0
+        a, b, c = (f.result(timeout=30) for f in (f1, f2, f3))
+    assert a[0, 0, 0] == 7 and b[0, 0, 0] == 9  # mixed scales, one batch
+    assert c[0, 0, 0] == 1
+
+    with pytest.raises(ValueError, match="does not take"):
+        srv.submit(0, variant="gen", guidance=3.0)
+    with pytest.raises(ValueError, match="non-finite"):
+        srv.submit(0, variant="cfg", guidance=float("nan"))
+
+
+def test_http_guidance_scale_routes_by_cost():
+    """guidance_scale != 1 routes to the ('cfg', size) variant; 1.0 or
+    absent rides the plain single-eval variant (bucketing by COST:
+    mixed-VALUE requests share the CFG batch, serve.py)."""
+    import http.client
+    import io
+    from http.server import ThreadingHTTPServer
+
+    import PIL.Image
+
+    from ldm_image_generator_tpu.cli.serve import make_handler
+    from ldm_image_generator_tpu.serving import Variant
+
+    def plain(keys, batch, class_ids):
+        return jnp.zeros((batch, 8, 8, 3), jnp.uint8)
+
+    def cfg(keys, batch, class_ids, guidance_scales):
+        return jnp.full((batch, 8, 8, 3), 200, jnp.uint8)
+
+    srv = SamplerServer(
+        {8: plain, ("cfg", 8): Variant(cfg, takes_guidance=True)},
+        batch_buckets=(1, 2), max_wait_ms=5, num_classes=4,
+    )
+    srv.start()
+
+    def jpeg_encode(img):
+        buf = io.BytesIO()
+        PIL.Image.fromarray(np.asarray(img)).save(buf, format="JPEG")
+        return buf.getvalue()
+
+    httpd = ThreadingHTTPServer(
+        ("127.0.0.1", 0),
+        make_handler(srv, jpeg_encode, default_size=8,
+                     default_guidance=1.0),
+    )
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+
+    def fetch_mean(path):
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        conn.request("GET", path)
+        r = conn.getresponse()
+        assert r.status == 200, r.read()
+        img = np.asarray(PIL.Image.open(io.BytesIO(r.read())))
+        conn.close()
+        return float(img.mean())
+
+    try:
+        # absent / exactly 1.0 -> plain variant (dark image)
+        assert fetch_mean("/sample?seed=1&class_id=2") < 50
+        assert fetch_mean(
+            "/sample?seed=1&class_id=2&guidance_scale=1.0") < 50
+        # any other scale -> CFG variant (bright image)
+        assert fetch_mean(
+            "/sample?seed=1&class_id=2&guidance_scale=3.0") > 150
+        assert fetch_mean(
+            "/sample?seed=1&class_id=2&guidance_scale=0.5") > 150
+        # malformed scale -> 400, not a dropped connection
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        conn.request("GET", "/sample?seed=1&guidance_scale=abc")
+        r = conn.getresponse()
+        assert r.status == 400
+        r.read()
+        conn.close()
+    finally:
+        httpd.shutdown()
+        srv.stop()
+
+
+def test_http_guidance_without_cfg_variant_is_400():
+    """A server launched without --num-classes has no CFG variants:
+    guidance_scale != 1 maps to an unknown variant -> 400."""
+    import http.client
+    import io
+    from http.server import ThreadingHTTPServer
+
+    import PIL.Image
+
+    from ldm_image_generator_tpu.cli.serve import make_handler
+
+    srv = SamplerServer({8: make_tiny_sample()}, batch_buckets=(1,),
+                        max_wait_ms=5)
+    srv.start()
+
+    def jpeg_encode(img):
+        buf = io.BytesIO()
+        PIL.Image.fromarray(np.asarray(img)).save(buf, format="JPEG")
+        return buf.getvalue()
+
+    httpd = ThreadingHTTPServer(
+        ("127.0.0.1", 0), make_handler(srv, jpeg_encode, default_size=8)
+    )
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        conn.request("GET", "/sample?seed=1&guidance_scale=2.0")
+        r = conn.getresponse()
+        assert r.status == 400
+        r.read()
+        conn.close()
+    finally:
+        httpd.shutdown()
+        srv.stop()
+
+
 def test_http_img2img_surface():
     import base64
     import http.client
