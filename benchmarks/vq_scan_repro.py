@@ -22,12 +22,22 @@ Cases (each in its own subprocess; prints OK / CRASH):
 Measured on this environment (2026-08-18, axon tunnel; remote v5e
 Mosaic compile helper):
 
-  outside:    OK
+  outside:    OK — idx sum matches
   scan_bare:  OK  — a bare pallas_call in a scan body is NOT the
               trigger (the round-3 hypothesis was wrong); the
               lane-major output spec is fine under scan.
-  scan_grad:  see log
-  scan_train: see log
+  scan_grad:  OK — losses finite and stable across scan steps
+  scan_train: OK — the full params-as-carry SGD data flow compiles
+              and runs
+
+ALL minimized cases pass: the quantizer's structure (pallas_call under
+stop_gradient inside value_and_grad inside lax.scan, params as carry)
+is NOT the crash trigger by itself. The round-3 full-VAE-step crash
+(scan_compile_repro.py) must come from something larger — candidate
+suspects are total program size (VAE+GAN step has both generator and
+discriminator towers) or the interaction with the conv stack. Re-run
+scan_compile_repro.py to re-test the full step on current
+infrastructure before further bisecting.
 
 Note a row-major [ntiles, TILE_N] output variant is NOT a possible
 workaround: Pallas TPU lowering rejects (1, TILE_N) blocks of a
