@@ -50,7 +50,7 @@ SOURCE_GLOBS = [
 ]
 
 
-def build_dataset(outdir: str, n: int = 96, size: int = 256) -> int:
+def build_dataset(outdir: str, n: int = 768, size: int = 256) -> int:
     """Random crops/resizes of the bundled real photos -> JPEG corpus."""
     import numpy as np
     from PIL import Image
@@ -90,7 +90,7 @@ def main():
     argval = lambda name, d: (
         int(sys.argv[sys.argv.index(name) + 1]) if name in sys.argv else d
     )
-    vae_steps = argval("--vae-steps", 400)
+    vae_steps = argval("--vae-steps", 600)
     ldm_steps = argval("--ldm-steps", 4000)
 
     import numpy as np
@@ -119,7 +119,10 @@ def main():
     qdir = os.path.join(REPO, "quality")
     os.makedirs(qdir, exist_ok=True)
     data_dir = os.path.join(qdir, "dataset")
-    n_imgs = build_dataset(data_dir, n=96, size=256)
+    # 768 crops: 96 for 4000 steps (b8) would be 333 epochs — the
+    # conditional gate's first run proved that regime memorizes (loss
+    # falls while KID collapses). 768 keeps it at ~42 epochs.
+    n_imgs = build_dataset(data_dir, n=768, size=256)
     print(f"dataset: {n_imgs} real-photo crops at 256px", flush=True)
 
     metrics_path = os.path.join(qdir, "metrics.jsonl")

@@ -8,8 +8,9 @@ condition=None).
 
 Classes are the distinct bundled source photographs (china / flower /
 grace_hopper — visually very different scenes), each contributing its
-own random-crop corpus under a dir-per-class layout (the same layout
-`train_ldm --num-classes` consumes):
+own 256-random-crop corpus under a dir-per-class layout (the same
+layout `train_ldm --num-classes` consumes; 48/class memorized — see
+the dataset-size note in main):
 
   1. train the default VAE+GAN on all classes pooled (as quality_gate);
   2. train the default UNet with num_classes=K, labels, and 10%
@@ -47,7 +48,7 @@ CLASS_SOURCES = [
 ]
 
 
-def build_labeled_dataset(outdir: str, per_class: int = 48,
+def build_labeled_dataset(outdir: str, per_class: int = 256,
                           size: int = 256) -> int:
     """Random crops of each source photo into class_<k>/ subdirs (the
     dir-per-class labeling train_ldm --num-classes uses)."""
@@ -82,7 +83,7 @@ def main():
     argval = lambda name, d: (
         int(sys.argv[sys.argv.index(name) + 1]) if name in sys.argv else d
     )
-    vae_steps = argval("--vae-steps", 300)
+    vae_steps = argval("--vae-steps", 600)
     ldm_steps = argval("--ldm-steps", 2500)
     guidance = 3.0
 
@@ -114,10 +115,15 @@ def main():
     qdir = os.path.join(REPO, "quality")
     os.makedirs(qdir, exist_ok=True)
     data_dir = os.path.join(qdir, "cond_dataset")
+    # 256 crops/class: the first run of this gate (48/class = 144
+    # latents for 2500 steps = 139 epochs) memorized the set — loss
+    # fell monotonically while KID collapsed 1.1 -> 10 after step ~800
+    # and two classes sampled near-identical junk. 768 latents (26
+    # epochs) keeps the horizon in the generalizing regime.
     n_classes = build_labeled_dataset(data_dir)
     class_dirs = [os.path.join(data_dir, f"class_{c}")
                   for c in range(n_classes)]
-    print(f"dataset: {n_classes} classes x 48 crops at 256px", flush=True)
+    print(f"dataset: {n_classes} classes x 256 crops at 256px", flush=True)
 
     mlog = open(os.path.join(qdir, "cond_metrics.jsonl"), "w")
 
@@ -206,11 +212,14 @@ def main():
                    jnp.asarray(latents[:1]), t1)
     schedule = make_schedule(ddpm_cfg)
     tx = make_optimizer("adamw", 1e-4)
+    from ldm_image_generator_tpu.train.steps import init_ema
+
     lstate = LDMTrainState(params=up, opt_state=tx.init(up),
-                           step=jnp.zeros((), jnp.int32))
+                           step=jnp.zeros((), jnp.int32),
+                           ema_params=init_ema(up))
     lstep = jax.jit(
         make_ldm_train_step(unet, schedule, tx, num_classes=n_classes,
-                            cond_drop=0.1),
+                            cond_drop=0.1, ema_decay=0.999),
         donate_argnums=(0,),
     )
     pipe = LDMPipeline(ucfg, vcfg, ddpm_cfg, dtype=jnp.bfloat16)
@@ -244,22 +253,32 @@ def main():
     rng = np.random.default_rng(3)
     t0 = time.time()
     step_count = 0
+    def summarize(mat, step, which):
+        diag = float(np.mean([mat[c][c] for c in range(n_classes)]))
+        off = float(np.mean([mat[c][cr] for c in range(n_classes)
+                             for cr in range(n_classes) if cr != c]))
+        # per-row win: each class's samples match their OWN class
+        # strictly best (this is what class steering means)
+        row_wins = [all(mat[c][c] < mat[c][cr]
+                        for cr in range(n_classes) if cr != c)
+                    for c in range(n_classes)]
+        return {"step": step, "weights": which, "kid_matrix": mat,
+                "diag": round(diag, 5), "offdiag": round(off, 5),
+                "row_wins": row_wins, "per_row_ok": bool(all(row_wins))}
+
     while True:
         if step_count in evals:
             mat = eval_cond(lstate.params, f"step{step_count:05d}")
-            diag = float(np.mean([mat[c][c] for c in range(n_classes)]))
-            off = float(np.mean([mat[c][cr] for c in range(n_classes)
-                                 for cr in range(n_classes) if cr != c]))
-            # per-row win: each class's samples match their OWN class
-            # strictly best (this is what class steering means)
-            row_wins = [all(mat[c][c] < mat[c][cr]
-                            for cr in range(n_classes) if cr != c)
-                        for c in range(n_classes)]
-            kmats.append({"step": step_count, "kid_matrix": mat,
-                          "diag": round(diag, 5), "offdiag": round(off, 5),
-                          "row_wins": row_wins,
-                          "per_row_ok": bool(all(row_wins))})
+            kmats.append(summarize(mat, step_count, "raw"))
             log({"phase": "kid", **kmats[-1]})
+            if step_count > 0:
+                # EMA weights are what a production sampler ships
+                # (standard diffusion practice); gate on these, record
+                # raw alongside
+                mat_e = eval_cond(lstate.ema_params,
+                                  f"step{step_count:05d}_ema")
+                kmats.append(summarize(mat_e, step_count, "ema"))
+                log({"phase": "kid", **kmats[-1]})
         if step_count >= ldm_steps:
             break
         idx = rng.choice(len(latents), 8, replace=False)
@@ -274,18 +293,23 @@ def main():
     log({"phase": "ldm_done", "steps": step_count,
          "sec": round(time.time() - t0, 1)})
 
-    final = kmats[-1]
+    final = kmats[-1]          # final EMA matrix (the shipped weights)
+    final_raw = kmats[-2]
     result = {
         # conditioning steers: EVERY class row's diagonal is strictly
-        # smallest at the end, and the mean diagonal improved
+        # smallest at the end (EMA weights — what a sampler ships), and
+        # the mean diagonal improved over the random init
         "ok": bool(final["per_row_ok"]
                    and final["diag"] < kmats[0]["diag"]),
+        "final_ema": final,
+        "final_raw": final_raw,
         "kid_trend": kmats,
         "guidance_scale": guidance,
         "classes": len(CLASS_SOURCES),
         "vae_steps": vae_steps,
         "ldm_steps": ldm_steps,
-        "criterion": "per-row diagonal strictly smallest (round-4)",
+        "ema_decay": 0.999,
+        "criterion": "per-row diagonal strictly smallest (round-4, EMA)",
         "config": "default 385.7M UNet + class embedding, CFG drop 0.1",
     }
     with open(os.path.join(REPO, "QUALITY_COND_r04.json"), "w") as f:
