@@ -86,6 +86,34 @@ def main():
         for s in sizes:  # interleaved: host steal hits both metrics
             trials[s].append(one_trial(runners[s], batch, s, trial))
 
+    # Pipelined-dispatch variant (NOT the headline): issue all sampling
+    # calls, then fetch — what any production client (or the serving
+    # daemon) does, hiding the ~45ms/call tunnel round-trip behind
+    # device compute. Reported as its own metric; the headline below
+    # stays strictly sequential (dispatch -> fetch per image) for
+    # round-over-round comparability.
+    def pipelined(batch, image_size, n=10):
+        outs = [pipe.sample(unet_params, dec_params, jax.random.PRNGKey(100 + i),
+                            batch=batch, image_size=image_size, num_steps=20)
+                for i in range(n)]
+        got = [jax.device_get(o) for o in outs]
+        assert got[-1].shape == (batch, image_size, image_size, 3)
+
+    pipelined(batch, 256, n=2)  # warmup the path
+    pl_trials = []
+    for _ in range(TRIALS):
+        t0 = time.perf_counter()
+        pipelined(batch, 256)
+        pl_trials.append(10 * batch / (time.perf_counter() - t0))
+    print(json.dumps({
+        "metric": f"ldm_sample_256px_pipelined_images_per_s_batch{batch}",
+        "value": round(statistics.median(pl_trials), 4),
+        "unit": "images/s",
+        "vs_baseline": round(statistics.median(pl_trials)
+                             / BASELINE_IMAGES_PER_S, 2),
+        "trials": [round(v, 4) for v in pl_trials],
+    }), flush=True)
+
     base = {512: BASELINE_512_IMAGES_PER_S, 256: BASELINE_IMAGES_PER_S}
     for s in sizes:  # 256px last: the driver parses the final line
         ips = statistics.median(trials[s])
