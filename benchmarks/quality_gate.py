@@ -153,38 +153,54 @@ def main():
         "quantizer": q.init(
             key, z0.reshape(1, -1, vcfg.embedding_dim))["params"],
     }
-    disc_p = disc.init(key, img0)["params"]
-    tx_v, tx_d = make_optimizer("adafactor"), make_optimizer("adafactor")
-    vstate = VAETrainState(
-        vae_params=vp, disc_params=disc_p, opt_state_vae=tx_v.init(vp),
-        opt_state_disc=tx_d.init(disc_p), step=jnp.zeros((), jnp.int32),
-    )
-    vstep = jax.jit(
-        make_vae_train_step(enc, dec, q, disc, tx_v, tx_d, crop_size=crop),
-        donate_argnums=(0,),
-    )
-
     ds = ImageDataset([data_dir], size=256,
                       cache_dir=os.path.join(qdir, "cache"))
-    loader = BatchLoader(ds, 8, seed=1)
-    t0 = time.time()
-    step_count = 0
-    while step_count < vae_steps:
-        for images in loader:
-            vstate, vm, _ = vstep(vstate, jnp.asarray(images),
-                                  jax.random.fold_in(key, step_count))
-            step_count += 1
-            if step_count % 100 == 0:
-                log({"phase": "vae", "step": step_count,
-                     "recon": round(float(vm["recon"]), 4),
-                     "d_loss": round(float(vm["d_loss"]), 4)})
-            if step_count >= vae_steps:
-                break
-    log({"phase": "vae_done", "steps": step_count,
-         "sec": round(time.time() - t0, 1)})
+    from ldm_image_generator_tpu.utils.checkpoint import (
+        load_params, save_params,
+    )
+
+    # phase-level resume: the tunnel/backend can drop mid-run (observed
+    # 2026-08-18); a cached trained VAE skips its compile + training on
+    # restart. Keyed to the corpus recipe — delete the file when
+    # changing dataset or vae_steps.
+    vae_ck = os.path.join(qdir, f"vae_s{vae_steps}_n{len(ds)}.msgpack")
+    if os.path.exists(vae_ck):
+        vp = load_params(vae_ck, vp)
+        log({"phase": "vae_cached", "path": os.path.basename(vae_ck)})
+    else:
+        disc_p = disc.init(key, img0)["params"]
+        tx_v, tx_d = make_optimizer("adafactor"), make_optimizer("adafactor")
+        vstate = VAETrainState(
+            vae_params=vp, disc_params=disc_p, opt_state_vae=tx_v.init(vp),
+            opt_state_disc=tx_d.init(disc_p), step=jnp.zeros((), jnp.int32),
+        )
+        vstep = jax.jit(
+            make_vae_train_step(enc, dec, q, disc, tx_v, tx_d,
+                                crop_size=crop),
+            donate_argnums=(0,),
+        )
+
+        loader = BatchLoader(ds, 8, seed=1)
+        t0 = time.time()
+        step_count = 0
+        while step_count < vae_steps:
+            for images in loader:
+                vstate, vm, _ = vstep(vstate, jnp.asarray(images),
+                                      jax.random.fold_in(key, step_count))
+                step_count += 1
+                if step_count % 100 == 0:
+                    log({"phase": "vae", "step": step_count,
+                         "recon": round(float(vm["recon"]), 4),
+                         "d_loss": round(float(vm["d_loss"]), 4)})
+                if step_count >= vae_steps:
+                    break
+        log({"phase": "vae_done", "steps": step_count,
+             "sec": round(time.time() - t0, 1)})
+        vp = jax.device_get(vstate.vae_params)
+        save_params(vae_ck, vp)
 
     # ---- 2. encode the corpus + real features ---------------------------
-    enc_params = {"params": vstate.vae_params["encoder"]}
+    enc_params = {"params": vp["encoder"]}
     encode = jax.jit(lambda x: enc.apply(enc_params, x))
     real = np.stack([ds[i] for i in range(len(ds))])
     latents = []
@@ -222,7 +238,7 @@ def main():
                     donate_argnums=(0,))
 
     pipe = LDMPipeline(ucfg, vcfg, ddpm_cfg, dtype=jnp.bfloat16)
-    dec_params = {"params": vstate.vae_params["decoder"]}
+    dec_params = {"params": vp["decoder"]}
 
     def eval_kid(params, tag, sampler="ddim", num_steps=20):
         imgs = pipe.sample(params, dec_params, jax.random.PRNGKey(42),

@@ -153,36 +153,52 @@ def main():
         "quantizer": q.init(
             key, z0.reshape(1, -1, vcfg.embedding_dim))["params"],
     }
-    disc_p = disc.init(key, img0)["params"]
-    tx_v, tx_d = make_optimizer("adafactor"), make_optimizer("adafactor")
-    vstate = VAETrainState(
-        vae_params=vp, disc_params=disc_p, opt_state_vae=tx_v.init(vp),
-        opt_state_disc=tx_d.init(disc_p), step=jnp.zeros((), jnp.int32),
-    )
-    vstep = jax.jit(
-        make_vae_train_step(enc, dec, q, disc, tx_v, tx_d, crop_size=crop),
-        donate_argnums=(0,),
-    )
     ds = ImageDataset(class_dirs, size=256,
                       cache_dir=os.path.join(qdir, "cond_cache"))
-    loader = BatchLoader(ds, 8, seed=1)
-    t0 = time.time()
-    step_count = 0
-    while step_count < vae_steps:
-        for images in loader:
-            vstate, vm, _ = vstep(vstate, jnp.asarray(images),
-                                  jax.random.fold_in(key, step_count))
-            step_count += 1
-            if step_count % 100 == 0:
-                log({"phase": "vae", "step": step_count,
-                     "recon": round(float(vm["recon"]), 4)})
-            if step_count >= vae_steps:
-                break
-    log({"phase": "vae_done", "steps": step_count,
-         "sec": round(time.time() - t0, 1)})
+    from ldm_image_generator_tpu.utils.checkpoint import (
+        load_params, save_params,
+    )
+
+    # phase-level resume: the tunnel/backend can drop mid-run (observed
+    # 2026-08-18); a cached trained VAE skips its compile + 600 steps on
+    # restart. Keyed to the corpus recipe — delete the file when
+    # changing dataset or vae_steps.
+    vae_ck = os.path.join(qdir, f"cond_vae_s{vae_steps}_n{len(ds)}.msgpack")
+    if os.path.exists(vae_ck):
+        vp = load_params(vae_ck, vp)
+        log({"phase": "vae_cached", "path": os.path.basename(vae_ck)})
+    else:
+        disc_p = disc.init(key, img0)["params"]
+        tx_v, tx_d = make_optimizer("adafactor"), make_optimizer("adafactor")
+        vstate = VAETrainState(
+            vae_params=vp, disc_params=disc_p, opt_state_vae=tx_v.init(vp),
+            opt_state_disc=tx_d.init(disc_p), step=jnp.zeros((), jnp.int32),
+        )
+        vstep = jax.jit(
+            make_vae_train_step(enc, dec, q, disc, tx_v, tx_d,
+                                crop_size=crop),
+            donate_argnums=(0,),
+        )
+        loader = BatchLoader(ds, 8, seed=1)
+        t0 = time.time()
+        step_count = 0
+        while step_count < vae_steps:
+            for images in loader:
+                vstate, vm, _ = vstep(vstate, jnp.asarray(images),
+                                      jax.random.fold_in(key, step_count))
+                step_count += 1
+                if step_count % 100 == 0:
+                    log({"phase": "vae", "step": step_count,
+                         "recon": round(float(vm["recon"]), 4)})
+                if step_count >= vae_steps:
+                    break
+        log({"phase": "vae_done", "steps": step_count,
+             "sec": round(time.time() - t0, 1)})
+        vp = jax.device_get(vstate.vae_params)
+        save_params(vae_ck, vp)
 
     # ---- 2. encode per class; per-class real features --------------------
-    enc_params = {"params": vstate.vae_params["encoder"]}
+    enc_params = {"params": vp["encoder"]}
     encode = jax.jit(lambda x: enc.apply(enc_params, x))
     labels_np = np.asarray(ds.labels, np.int32)
     real = np.stack([ds[i] for i in range(len(ds))])
@@ -223,7 +239,7 @@ def main():
         donate_argnums=(0,),
     )
     pipe = LDMPipeline(ucfg, vcfg, ddpm_cfg, dtype=jnp.bfloat16)
-    dec_params = {"params": vstate.vae_params["decoder"]}
+    dec_params = {"params": vp["decoder"]}
 
     def eval_cond(params, tag):
         """Per-class guided grids; KID of class-c samples vs every
