@@ -50,7 +50,7 @@ def emit(metric, value, unit, baseline=None):
 
 
 TRAIN_CASES = ("ldm_b8", "ldm_b64", "ldm_b64_fwdonly", "ldm_b64_nopt",
-               "ldm_b64_remat", "vae_gan")
+               "ldm_b64_marginal", "ldm_b64_remat", "vae_gan")
 
 
 def main():
@@ -261,6 +261,47 @@ def run_train_case(case: str):
             except Exception as e:
                 print(json.dumps({"metric": name, "error": str(e)[:200]}),
                       flush=True)
+            return
+
+        if case == "ldm_b64_marginal":
+            # The n=4 chain's fixed dispatch+fence round-trip (~25-45ms
+            # over this tunnel) inflates the quoted step by 6-11 ms.
+            # The slope between two chain lengths cancels every fixed
+            # cost — the same estimator as the sampler's
+            # d(e2e)/d(num_steps) (docs/PERF.md "real sampler per-step
+            # cost"). Interleaved trials resist host steal.
+            def make_chain(n_):
+                @functools.partial(jax.jit, donate_argnums=(0,))
+                def chain(state):
+                    def body(s, i):
+                        s, m = step(s, xb, jax.random.fold_in(key, i))
+                        return s, m["loss"]
+
+                    return jax.lax.scan(body, state, jnp.arange(n_))
+
+                return chain
+
+            n1, n2 = 4, 12
+            chains = {n1: make_chain(n1), n2: make_chain(n2)}
+            st = LDMTrainState(params=up, opt_state=tx.init(up),
+                               step=jnp.zeros((), jnp.int32))
+            del up
+            for n_ in (n1, n2):  # compile + warm
+                st, out = chains[n_](st)
+                fence(out)
+            times = {n1: [], n2: []}
+            for _ in range(3):
+                for n_ in (n1, n2):
+                    t0 = _t.perf_counter()
+                    st, out = chains[n_](st)
+                    fence(out)
+                    times[n_].append(_t.perf_counter() - t0)
+            med = lambda v: sorted(v)[len(v) // 2]
+            marginal = (med(times[n2]) - med(times[n1])) / (n2 - n1)
+            emit("ldm_train_step_b64_latent32_marginal", marginal,
+                 "s/step", 305.96)
+            emit("ldm_train_chain_fixed_cost",
+                 med(times[n1]) - n1 * marginal, "s/chain")
             return
 
         @functools.partial(jax.jit, donate_argnums=(0,))
