@@ -13,11 +13,14 @@ requests are coalesced into fixed jitted batch buckets
     GET  /stats                            -> full counters + latency
                                               histograms (p50/p90/p99)
     GET  /sample?seed=123[&size=512][&class_id=7][&guidance_scale=3.0]
+                 [&priority=high|normal|low]
                                            -> image/jpeg
     POST /sample  {"seed": 123, "size": 512, "class_id": 7,
-                   "guidance_scale": 3.0}  -> image/jpeg
+                   "guidance_scale": 3.0, "priority": "low"}
+                                           -> image/jpeg
     POST /img2img {"seed": 1, "image": "<base64>"[, "size", "class_id",
-                   "guidance_scale"]}      -> image/jpeg (needs
+                   "guidance_scale", "priority"]}
+                                           -> image/jpeg (needs
                                               --img2img-strength > 0)
 
 class_id requires --num-classes (class-conditional checkpoints); omitted
@@ -26,6 +29,13 @@ conditional and unconditional requests share batches. /img2img requests
 batch like any other variant — the client image rides as a per-request
 payload row (SDEdit partial diffusion at the server's
 --img2img-strength).
+
+priority (per request; 0/"interactive"|"high", 1/"normal" default,
+2/"low"|"background"|"batch") orders batch-slot assignment
+interactive-first and sets the admission share under load: once the
+queue passes a priority class's share of capacity, that class gets 503
+while capacity stays reserved for more interactive traffic
+(serving.SamplerServer admit_fractions, default 100%/100%/50%).
 
 guidance_scale (per request; default --guidance-scale) buckets requests
 by COST, not by value: scale == 1.0 routes to the single-UNet-eval
@@ -254,7 +264,8 @@ def make_handler(server, jpeg_encode, default_size=None,
             self.wfile.write(body)
 
         def _sample(self, seed: int, size=None, class_id=None,
-                    payload=None, img2img=False, guidance=None):
+                    payload=None, img2img=False, guidance=None,
+                    priority=1):
             # every failure mode maps to a specific HTTP status, never a
             # dropped connection: 503 shed, 504 ttl-expired, 400 bad
             # variant/class_id/payload/guidance, 500 anything else
@@ -274,7 +285,8 @@ def make_handler(server, jpeg_encode, default_size=None,
             try:
                 fut = server.submit(seed, variant=variant,
                                     class_id=class_id, payload=payload,
-                                    guidance=gs if use_cfg else None)
+                                    guidance=gs if use_cfg else None,
+                                    priority=priority)
             except ServerOverloaded as e:
                 self.send_response(503)
                 body = json.dumps({"error": str(e)}).encode()
@@ -300,6 +312,19 @@ def make_handler(server, jpeg_encode, default_size=None,
                     json.dumps({"error": f"sampling failed: {e}"}).encode(),
                 )
             self._send(200, jpeg_encode(img), "image/jpeg")
+
+        _PRIORITY_NAMES = {"interactive": 0, "high": 0, "normal": 1,
+                           "low": 2, "background": 2, "batch": 2}
+
+        @classmethod
+        def _parse_priority(cls, raw):
+            """0|1|2 or a name; None -> normal (1)."""
+            if raw is None:
+                return 1
+            if isinstance(raw, str) and raw.strip().lower() in \
+                    cls._PRIORITY_NAMES:
+                return cls._PRIORITY_NAMES[raw.strip().lower()]
+            return int(raw)
 
         @staticmethod
         def _parse_size(raw):
@@ -328,11 +353,13 @@ def make_handler(server, jpeg_encode, default_size=None,
                     cid = self._parse_size(q.get("class_id", [None])[0])
                     raw_gs = q.get("guidance_scale", [None])[0]
                     gs = float(raw_gs) if raw_gs is not None else None
+                    prio = self._parse_priority(
+                        q.get("priority", [None])[0])
                 except ValueError as e:
                     return self._send(
                         400, json.dumps({"error": f"bad arg: {e}"}).encode()
                     )
-                self._sample(seed, size, cid, guidance=gs)
+                self._sample(seed, size, cid, guidance=gs, priority=prio)
             else:
                 self._send(404, b'{"error": "not found"}')
 
@@ -359,6 +386,7 @@ def make_handler(server, jpeg_encode, default_size=None,
                 cid = self._parse_size(body.get("class_id"))
                 raw_gs = body.get("guidance_scale")
                 gs = float(raw_gs) if raw_gs is not None else None
+                prio = self._parse_priority(body.get("priority"))
                 payload = None
                 if url.path == "/img2img":
                     # {"image": base64 of any image format PIL reads}
@@ -397,7 +425,8 @@ def make_handler(server, jpeg_encode, default_size=None,
                     400, json.dumps({"error": f"bad request: {e}"}).encode()
                 )
             self._sample(seed, size, cid, payload,
-                         img2img=url.path == "/img2img", guidance=gs)
+                         img2img=url.path == "/img2img", guidance=gs,
+                         priority=prio)
 
     return Handler
 

@@ -33,6 +33,13 @@ Production hardening:
   * **Latency histograms**: ServerStats records per-request end-to-end
     latency and queue-wait in log-spaced buckets with percentile
     summaries for the /healthz /stats endpoints.
+  * **Priority + admission control**: submit(seed, priority=0|1|2)
+    (interactive/normal/background). Under load the queue stops
+    admitting background work first (per-priority admission shares of
+    queue capacity, `admit_fractions`), and within each dispatched
+    group interactive requests take the batch slots first; the
+    max-wait dispatch trigger stays oldest-request-based so no
+    priority class starves.
   * **Class-conditional serving** (`num_classes=`): requests carry an
     optional class_id, batched as an int32 row alongside the seeds;
     requests without one (and batch padding) use the model's learned
@@ -98,6 +105,7 @@ class _Request:
     class_id: Optional[int] = None  # conditional servers only
     payload: Optional[np.ndarray] = None  # payload variants only
     guidance: Optional[float] = None  # takes_guidance variants only
+    priority: int = 1          # 0 = interactive .. 2 = background
 
 
 # Log-spaced latency bucket upper bounds (milliseconds). The last bucket
@@ -216,12 +224,20 @@ class SamplerServer:
         max_queue: int = 1024,
         default_ttl_s: Optional[float] = None,
         num_classes: Optional[int] = None,
+        admit_fractions: Sequence[float] = (1.0, 1.0, 0.5),
     ):
         """num_classes: serve a class-conditional model — every pipeline
         fn then takes (keys, batch, class_ids int32 [batch]) and requests
         may carry class_id in [0, num_classes); requests without one (and
         batch padding) get the null id == num_classes (the model's
-        learned unconditional embedding, models/unet.py class_embed)."""
+        learned unconditional embedding, models/unet.py class_embed).
+
+        admit_fractions: per-priority admission shares of the queue
+        (index = priority, 0 = most interactive). Under load the queue
+        stops admitting background work first — priority p is shed once
+        the queue holds >= admit_fractions[p] * max_queue requests — so
+        bulk clients cannot crowd out interactive ones. Dispatch order
+        within a cut batch group is (priority, arrival)."""
         if not isinstance(pipelines, dict):
             pipelines = {None: pipelines}
         assert pipelines, "need at least one pipeline variant"
@@ -233,6 +249,10 @@ class SamplerServer:
         self._default_variant = next(iter(self._pipelines))
         self.buckets = tuple(sorted(set(int(b) for b in batch_buckets)))
         assert self.buckets and self.buckets[0] >= 1
+        self.admit_fractions = tuple(float(f) for f in admit_fractions)
+        assert self.admit_fractions and all(
+            0.0 < f <= 1.0 for f in self.admit_fractions
+        )
         self.max_wait = max_wait_ms / 1000.0
         self.default_ttl = default_ttl_s
         self._q: "queue.Queue[_Request]" = queue.Queue(maxsize=max_queue)
@@ -298,18 +318,24 @@ class SamplerServer:
                ttl_s: Optional[float] = None,
                class_id: Optional[int] = None,
                payload: Optional[np.ndarray] = None,
-               guidance: Optional[float] = None) -> Future:
+               guidance: Optional[float] = None,
+               priority: int = 1) -> Future:
         """Enqueue one image request; resolves to uint8 [H, W, 3].
 
         Raises ServerOverloaded when the queue is full (load shedding;
-        callers/HTTP map this to 503 + retry-after). KeyError for an
-        unknown variant; ValueError for a class_id on an unconditional
-        server or out of range, for a missing/mis-shaped payload on a
-        payload variant, or for a guidance scale on a variant that does
-        not take one (or a non-finite one). ttl_s (or the server
-        default) bounds queue time: expired requests resolve to
-        TimeoutError without burning a batch slot. Cancelling the
-        returned future before dispatch also frees the slot.
+        callers/HTTP map this to 503 + retry-after) or when the request's
+        priority class is beyond its admission share of the queue
+        (admit_fractions). KeyError for an unknown variant; ValueError
+        for a class_id on an unconditional server or out of range, for a
+        missing/mis-shaped payload on a payload variant, for a guidance
+        scale on a variant that does not take one (or a non-finite one),
+        or for a priority outside [0, len(admit_fractions)). ttl_s (or
+        the server default) bounds queue time: expired requests resolve
+        to TimeoutError without burning a batch slot. Cancelling the
+        returned future before dispatch also frees the slot. priority
+        orders requests within a dispatched group (0 = interactive
+        first) and picks the admission share; it does not preempt an
+        already-running batch.
         """
         if variant is None:
             variant = self._default_variant
@@ -351,13 +377,31 @@ class SamplerServer:
                     f"[0, {self.num_classes})"
                 )
             class_id = int(class_id)
+        priority = int(priority)
+        if not 0 <= priority < len(self.admit_fractions):
+            raise ValueError(
+                f"priority {priority} out of range "
+                f"[0, {len(self.admit_fractions)})"
+            )
+        share = int(self._q.maxsize * self.admit_fractions[priority])
+        if priority > 0 and self._q.qsize() >= share:
+            # admission control: lower priorities stop being admitted
+            # while capacity above their share remains reserved for
+            # more interactive traffic (qsize is approximate under
+            # concurrency — the reserve is a soft bound, the hard bound
+            # below still applies to everyone)
+            self.stats.add(shed=1)
+            raise ServerOverloaded(
+                f"queue beyond priority-{priority} admission share "
+                f"({share} of {self._q.maxsize})"
+            )
         fut: Future = Future()
         ttl = ttl_s if ttl_s is not None else self.default_ttl
         now = time.monotonic()
         req = _Request(int(seed), variant, fut, now,
                        now + ttl if ttl is not None else None,
                        class_id=class_id, payload=payload,
-                       guidance=guidance)
+                       guidance=guidance, priority=priority)
         try:
             self._q.put_nowait(req)
         except queue.Full:
@@ -466,6 +510,11 @@ class SamplerServer:
             if not reqs:
                 pending[variant] = []
                 continue
+            # interactive-first within the group cut; stable sort keeps
+            # arrival order within a priority class (no starvation: the
+            # max_wait trigger in _take_group is oldest-request-based
+            # regardless of priority, and leftovers lead the next cut)
+            reqs.sort(key=lambda r: (r.priority, r.enqueued_at))
             bucket = self._bucket_for(len(reqs))
             group, pending[variant] = reqs[:bucket], reqs[bucket:]
             pad = bucket - len(group)

@@ -633,3 +633,51 @@ def test_saturated_server_dispatches_full_buckets():
     # saturated: after the first (possibly small) dispatch the backlog
     # must coalesce — well above batch-1 dribble on average
     assert srv.stats.mean_batch >= 4, srv.stats.snapshot()
+
+
+def test_priority_admission_shares():
+    """Admission control: under load, background traffic is shed first
+    while capacity stays reserved for interactive requests
+    (serving.SamplerServer admit_fractions)."""
+    srv = SamplerServer(make_tiny_sample(), batch_buckets=(1,),
+                        max_queue=10, admit_fractions=(1.0, 0.8, 0.5))
+    # worker NOT started: the queue only fills
+    for i in range(5):
+        srv.submit(i, priority=2)
+    with pytest.raises(ServerOverloaded):
+        srv.submit(99, priority=2)      # background beyond its 50% share
+    for i in range(3):
+        srv.submit(10 + i, priority=1)  # normal: share 8, qsize 5..7
+    with pytest.raises(ServerOverloaded):
+        srv.submit(99, priority=1)      # qsize 8 >= its share 8
+    srv.submit(50, priority=0)          # interactive still admitted
+    srv.submit(51, priority=0)          # fills the queue to 10
+    with pytest.raises(ServerOverloaded):
+        srv.submit(52, priority=0)      # hard bound applies to everyone
+    with pytest.raises(ValueError):
+        srv.submit(1, priority=3)       # outside admit_fractions
+    assert srv.stats.shed == 3
+
+
+def test_priority_orders_batch_slots():
+    """Within one dispatched group, interactive requests take the batch
+    slots first; lower-priority leftovers lead the NEXT dispatch (no
+    starvation: the max_wait trigger is oldest-request-based)."""
+    seen = []
+
+    def fn(keys, batch):
+        seen.append(np.asarray(keys)[:, -1].tolist())
+        return jnp.zeros((batch, 8, 8, 3), jnp.uint8)
+
+    srv = SamplerServer(fn, batch_buckets=(2,), max_wait_ms=30)
+    # enqueue BEFORE starting the worker so all three requests are
+    # pending in one cut: two background arrivals, then one interactive
+    f1 = srv.submit(101, priority=2)
+    f2 = srv.submit(102, priority=2)
+    f3 = srv.submit(103, priority=0)
+    with srv:
+        for f in (f1, f2, f3):
+            f.result(timeout=30)
+    # first pair: the interactive request + the oldest background one
+    assert set(seen[0]) == {103, 101}, seen
+    assert 102 in [s for grp in seen[1:] for s in grp], seen
