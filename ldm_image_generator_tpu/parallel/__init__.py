@@ -4,6 +4,8 @@ from ldm_image_generator_tpu.parallel.mesh import (  # noqa: F401
     make_multislice_mesh,
     param_shardings,
     replicated,
+    shard_opt_state,
     shard_params,
     spatial_sharding,
+    zero1_shardings,
 )

@@ -158,3 +158,48 @@ def shard_params(params: Any, mesh: Mesh,
     """Place a param pytree onto the mesh per param_shardings."""
     shardings = param_shardings(params, mesh, expert_parallel)
     return jax.tree.map(jax.device_put, params, shardings)
+
+
+# ZeRO-1 leaves smaller than this stay replicated: sharding a tiny
+# bias's optimizer moments buys nothing and costs a collective.
+ZERO1_MIN_SIZE = 2 ** 14
+
+
+def zero1_shardings(tree: Any, mesh: Mesh,
+                    min_size: int = ZERO1_MIN_SIZE) -> Any:
+    """Per-leaf NamedShardings for ZeRO-1 optimizer-state sharding.
+
+    Each large optimizer-state leaf (Adam mu/nu etc.) is sharded over
+    the 'data' axis on its largest data-divisible dim; small leaves and
+    scalars (step counts) stay replicated. Params and activations keep
+    their own layout — annotating only the STATE is what makes this
+    ZeRO-1: GSPMD lowers the optimizer update to reduce-scatter(grads)
+    -> sharded elementwise update -> all-gather(new params), the
+    standard ZeRO-1 dataflow, with no hand-written collectives. The
+    reference has no distributed training at all (SURVEY.md §2); this
+    is TPU-native scaling surface. Memory effect: Adam's 2x fp32
+    moments drop to 2x/N per chip (for the 385.7M default UNet, ~3GB
+    of moments -> ~0.4GB/chip on a v5e-8 data axis)."""
+    n = mesh.shape["data"]
+
+    def leaf(x):
+        shape = tuple(getattr(x, "shape", ()))
+        if int(np.prod(shape, dtype=np.int64)) < min_size or n <= 1:
+            return replicated(mesh)
+        for i in sorted(range(len(shape)), key=lambda j: -shape[j]):
+            if shape[i] % n == 0:
+                spec = [None] * len(shape)
+                spec[i] = "data"
+                return NamedSharding(mesh, P(*spec))
+        return replicated(mesh)
+
+    return jax.tree.map(leaf, tree)
+
+
+def shard_opt_state(opt_state: Any, mesh: Mesh,
+                    min_size: int = ZERO1_MIN_SIZE) -> Any:
+    """Place an optimizer-state pytree onto the mesh per
+    zero1_shardings (ZeRO-1). Use on tx.init(params) before the first
+    step; jit propagates the layout through every update."""
+    return jax.tree.map(jax.device_put, opt_state,
+                        zero1_shardings(opt_state, mesh, min_size))

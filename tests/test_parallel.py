@@ -208,3 +208,56 @@ def test_dp_ep_train_step_matches_single_device():
         s1, m1 = jax.jit(step)(make_state(sharded), x_sh, jax.random.PRNGKey(1))
     np.testing.assert_allclose(float(m0["loss"]), float(m1["loss"]),
                                rtol=1e-4)
+
+def test_zero1_opt_state_sharding_matches_single_device():
+    """ZeRO-1: sharding ONLY the optimizer state over 'data' must not
+    change the math (GSPMD inserts reduce-scatter/all-gather around the
+    sharded update), and the updated moments must keep their sharded
+    layout through the jitted step."""
+    from ldm_image_generator_tpu.parallel import shard_opt_state
+
+    cfg = UNetConfig(
+        input_channels=4, stages=(1, 1), channels=(32, 256),
+        stochastic_depth=0.0,
+    )
+    unet, params, x = _build(cfg, batch=8)
+    schedule = make_schedule(DDPMConfig(num_timesteps=50))
+    tx = make_optimizer("adamw", 1e-3)
+    step = make_ldm_train_step(unet, schedule, tx, stochastic_depth=False)
+
+    # same mesh, same data layout, identical grads — the ONLY delta
+    # between the two runs is the optimizer-state layout, which is
+    # exactly the invariance ZeRO-1 must preserve. (Comparing against a
+    # single-device run instead is ill-conditioned: after one AdamW
+    # step from zero moments the update is ~g/|g|, so reduction-order
+    # noise in tiny bias grads flips it — the dp+tp test above checks
+    # the cross-device-count direction on a well-conditioned leaf.)
+    mesh = make_mesh(8, model_parallel=2)
+    sp = shard_params(params, mesh)
+    x_sh = jax.device_put(x, batch_sharding(mesh, x.ndim))
+
+    s0 = LDMTrainState(params=sp, opt_state=tx.init(sp),
+                       step=jnp.zeros((), jnp.int32))
+    with jax.sharding.set_mesh(mesh):
+        s0, m0 = jax.jit(step)(s0, x_sh, jax.random.PRNGKey(1))
+
+    opt_z = shard_opt_state(tx.init(sp), mesh, min_size=1024)
+    s1 = LDMTrainState(params=sp, opt_state=opt_z,
+                       step=jnp.zeros((), jnp.int32))
+    with jax.sharding.set_mesh(mesh):
+        s1, m1 = jax.jit(step)(s1, x_sh, jax.random.PRNGKey(1))
+
+    np.testing.assert_allclose(float(m0["loss"]), float(m1["loss"]),
+                               rtol=1e-5)
+    for l0, l1 in zip(jax.tree.leaves(s0.params),
+                      jax.tree.leaves(s1.params)):
+        np.testing.assert_allclose(np.asarray(jax.device_get(l0)),
+                                   np.asarray(jax.device_get(l1)),
+                                   rtol=1e-3, atol=2e-6)
+    # at least one updated Adam moment is still data-sharded
+    sharded_moments = [
+        l for l in jax.tree.leaves(s1.opt_state)
+        if hasattr(l, "sharding")
+        and "data" in str(getattr(l.sharding, "spec", ""))
+    ]
+    assert sharded_moments, "no optimizer-state leaf kept a ZeRO-1 layout"
