@@ -33,6 +33,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "over N batches): amortizes per-call dispatch "
                         "latency; numerics identical to N single steps")
     p.add_argument("--ckpt-dir", default=None)
+    p.add_argument("--zero1", action="store_true",
+                   help="ZeRO-1: shard optimizer state (Adam moments) "
+                        "over the data axis on multi-device runs — 2x "
+                        "fp32 moments become 2x/N per chip; numerics "
+                        "unchanged (ignored on one device)")
     p.add_argument("--config", default="default",
                    choices=["default", "tiny", "tiny-deep"],
                    help="model size preset (tiny = test/debug scale; "
@@ -215,6 +220,30 @@ def main(argv=None):
         mesh = make_mesh(n_dev)
         sharding = batch_sharding(mesh, 4)
         print(f"data-parallel over {n_dev} devices")
+        if args.zero1:
+            # ZeRO-1: shard the Adam moments over the data axis
+            # (parallel/mesh.py zero1_shardings) — GSPMD lowers the
+            # update to reduce-scatter -> sharded update -> all-gather.
+            # Params/EMA are pinned replicated so the mixed layout is
+            # explicit rather than left to auto-placement.
+            from ldm_image_generator_tpu.parallel import (
+                replicated, shard_opt_state,
+            )
+
+            rep = replicated(mesh)
+            put_rep = lambda t: jax.tree.map(
+                lambda a: jax.device_put(a, rep), t)
+            state = state.replace(
+                params=put_rep(state.params),
+                ema_params=(put_rep(state.ema_params)
+                            if state.ema_params is not None else None),
+                opt_state=shard_opt_state(state.opt_state, mesh),
+            )
+            print("ZeRO-1: optimizer state sharded over the data axis")
+
+    if args.zero1 and sharding is None:
+        print("--zero1 ignored: no data-parallel mesh engaged "
+              "(single device, pipeline mode, or batch % devices != 0)")
 
     raw_step = make_ldm_train_step(
         unet, schedule, tx, prediction=args.prediction,
