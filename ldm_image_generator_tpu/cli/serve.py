@@ -15,6 +15,14 @@ requests are coalesced into fixed jitted batch buckets
     GET  /sample?seed=123[&size=512][&class_id=7][&guidance_scale=3.0]
                  [&priority=high|normal|low]
                                            -> image/jpeg
+    GET  /sample_batch?seeds=1,2,3 | seed=40&n=8  [+ the same options]
+                                           -> multipart/mixed stream:
+                                              one image/jpeg part per
+                                              seed (X-Seed header), in
+                                              COMPLETION order — all
+                                              seeds batch on-device,
+                                              the client renders each
+                                              image as it finishes
     POST /sample  {"seed": 123, "size": 512, "class_id": 7,
                    "guidance_scale": 3.0, "priority": "low"}
                                            -> image/jpeg
@@ -263,17 +271,12 @@ def make_handler(server, jpeg_encode, default_size=None,
             self.end_headers()
             self.wfile.write(body)
 
-        def _sample(self, seed: int, size=None, class_id=None,
-                    payload=None, img2img=False, guidance=None,
-                    priority=1):
-            # every failure mode maps to a specific HTTP status, never a
-            # dropped connection: 503 shed, 504 ttl-expired, 400 bad
-            # variant/class_id/payload/guidance, 500 anything else
-            from ldm_image_generator_tpu.serving import ServerOverloaded
-
-            # guidance bucketing: scale 1.0 (after defaulting) rides the
-            # single-eval variant; anything else the CFG variant, where
-            # the scale is a traced per-request value (serving.py)
+        @staticmethod
+        def _route(size, guidance, img2img=False):
+            """(variant key, guidance-or-None): guidance bucketing by
+            COST — scale 1.0 (after defaulting) rides the single-eval
+            variant; anything else the CFG variant, where the scale is
+            a traced per-request value (serving.py)."""
             gs = default_guidance if guidance is None else guidance
             use_cfg = gs != 1.0
             size_eff = size if size is not None else default_size
@@ -282,20 +285,32 @@ def make_handler(server, jpeg_encode, default_size=None,
                            else ("img2img", size_eff))
             else:
                 variant = ("cfg", size_eff) if use_cfg else size
+            return variant, (gs if use_cfg else None)
+
+        def _send_503(self, e):
+            self.send_response(503)
+            body = json.dumps({"error": str(e)}).encode()
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Retry-After", "1")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _sample(self, seed: int, size=None, class_id=None,
+                    payload=None, img2img=False, guidance=None,
+                    priority=1):
+            # every failure mode maps to a specific HTTP status, never a
+            # dropped connection: 503 shed, 504 ttl-expired, 400 bad
+            # variant/class_id/payload/guidance, 500 anything else
+            from ldm_image_generator_tpu.serving import ServerOverloaded
+
+            variant, gs = self._route(size, guidance, img2img)
             try:
                 fut = server.submit(seed, variant=variant,
                                     class_id=class_id, payload=payload,
-                                    guidance=gs if use_cfg else None,
-                                    priority=priority)
+                                    guidance=gs, priority=priority)
             except ServerOverloaded as e:
-                self.send_response(503)
-                body = json.dumps({"error": str(e)}).encode()
-                self.send_header("Content-Type", "application/json")
-                self.send_header("Retry-After", "1")
-                self.send_header("Content-Length", str(len(body)))
-                self.end_headers()
-                self.wfile.write(body)
-                return
+                return self._send_503(e)
             except (KeyError, ValueError) as e:
                 return self._send(
                     400, json.dumps({"error": str(e)}).encode()
@@ -312,6 +327,69 @@ def make_handler(server, jpeg_encode, default_size=None,
                     json.dumps({"error": f"sampling failed: {e}"}).encode(),
                 )
             self._send(200, jpeg_encode(img), "image/jpeg")
+
+        MAX_BATCH_SEEDS = 64
+
+        def _sample_batch(self, seeds, size=None, class_id=None,
+                          guidance=None, priority=1):
+            """Streamed batch sampling: submit every seed up front (so
+            they coalesce into full device batches) and write each JPEG
+            as a multipart/mixed part the moment its future resolves —
+            the client renders images as they complete instead of
+            waiting for the slowest. Parts carry X-Seed; a failed seed
+            becomes an application/json part instead of killing the
+            stream. Close-delimited body (HTTP/1.0 semantics): no
+            Content-Length, the terminating boundary ends the stream."""
+            from concurrent.futures import as_completed
+
+            from ldm_image_generator_tpu.serving import ServerOverloaded
+
+            variant, gv = self._route(size, guidance)
+            futs = {}
+            try:
+                for s in seeds:
+                    futs[server.submit(s, variant=variant,
+                                       class_id=class_id, guidance=gv,
+                                       priority=priority)] = s
+            except ServerOverloaded as e:
+                for f in futs:
+                    f.cancel()
+                return self._send_503(e)
+            except (KeyError, ValueError) as e:
+                for f in futs:
+                    f.cancel()
+                return self._send(
+                    400, json.dumps({"error": str(e)}).encode()
+                )
+            boundary = "ldmframe"
+            self.send_response(200)
+            self.send_header("Content-Type",
+                             f"multipart/mixed; boundary={boundary}")
+            self.send_header("Connection", "close")
+            self.end_headers()
+            for fut in as_completed(list(futs), timeout=600):
+                seed = futs[fut]
+                try:
+                    body = jpeg_encode(fut.result())
+                    ctype = "image/jpeg"
+                except Exception as e:
+                    body = json.dumps(
+                        {"seed": seed, "error": str(e)}).encode()
+                    ctype = "application/json"
+                try:
+                    self.wfile.write(
+                        f"--{boundary}\r\nContent-Type: {ctype}\r\n"
+                        f"X-Seed: {seed}\r\n"
+                        f"Content-Length: {len(body)}\r\n\r\n".encode())
+                    self.wfile.write(body)
+                    self.wfile.write(b"\r\n")
+                    self.wfile.flush()
+                except (BrokenPipeError, ConnectionError, OSError):
+                    # client went away: free the undispatched slots
+                    for f in futs:
+                        f.cancel()
+                    return
+            self.wfile.write(f"--{boundary}--\r\n".encode())
 
         _PRIORITY_NAMES = {"interactive": 0, "high": 0, "normal": 1,
                            "low": 2, "background": 2, "batch": 2}
@@ -360,6 +438,32 @@ def make_handler(server, jpeg_encode, default_size=None,
                         400, json.dumps({"error": f"bad arg: {e}"}).encode()
                     )
                 self._sample(seed, size, cid, guidance=gs, priority=prio)
+            elif url.path == "/sample_batch":
+                q = parse_qs(url.query)
+                try:
+                    if "seeds" in q:
+                        seeds = [int(s) for s in q["seeds"][0].split(",")
+                                 if s.strip()]
+                    else:
+                        base = int(q.get("seed", ["0"])[0])
+                        seeds = list(range(
+                            base, base + int(q.get("n", ["1"])[0])))
+                    if not 1 <= len(seeds) <= self.MAX_BATCH_SEEDS:
+                        raise ValueError(
+                            f"need 1..{self.MAX_BATCH_SEEDS} seeds, "
+                            f"got {len(seeds)}")
+                    size = self._parse_size(q.get("size", [None])[0])
+                    cid = self._parse_size(q.get("class_id", [None])[0])
+                    raw_gs = q.get("guidance_scale", [None])[0]
+                    gs = float(raw_gs) if raw_gs is not None else None
+                    prio = self._parse_priority(
+                        q.get("priority", [None])[0])
+                except ValueError as e:
+                    return self._send(
+                        400, json.dumps({"error": f"bad arg: {e}"}).encode()
+                    )
+                self._sample_batch(seeds, size, cid, guidance=gs,
+                                   priority=prio)
             else:
                 self._send(404, b'{"error": "not found"}')
 

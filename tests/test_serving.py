@@ -681,3 +681,76 @@ def test_priority_orders_batch_slots():
     # first pair: the interactive request + the oldest background one
     assert set(seen[0]) == {103, 101}, seen
     assert 102 in [s for grp in seen[1:] for s in grp], seen
+
+
+def test_http_sample_batch_streams_multipart():
+    """/sample_batch: all seeds submitted up front (they coalesce into
+    device batches) and streamed back as multipart/mixed parts tagged
+    X-Seed; bad args give 400."""
+    import http.client
+    import io
+    from http.server import ThreadingHTTPServer
+
+    import PIL.Image
+
+    from ldm_image_generator_tpu.cli.serve import make_handler
+
+    srv = SamplerServer(make_tiny_sample(), batch_buckets=(1, 2, 4),
+                        max_wait_ms=20)
+    srv.start()
+
+    def jpeg_encode(img):
+        buf = io.BytesIO()
+        PIL.Image.fromarray(np.asarray(img)).save(buf, format="JPEG")
+        return buf.getvalue()
+
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0),
+                                make_handler(srv, jpeg_encode))
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+        conn.request("GET", "/sample_batch?seeds=3,9,5")
+        r = conn.getresponse()
+        assert r.status == 200
+        assert r.getheader("Content-Type").startswith(
+            "multipart/mixed; boundary=")
+        raw = r.read()
+        conn.close()
+        boundary = b"--ldmframe"
+        parts = [p for p in raw.split(boundary)
+                 if p.strip() and p.strip() != b"--"]
+        assert len(parts) == 3, raw[:200]
+        seen_seeds = set()
+        for p in parts:
+            head, body = p.split(b"\r\n\r\n", 1)
+            assert b"Content-Type: image/jpeg" in head, head
+            for line in head.split(b"\r\n"):
+                if line.startswith(b"X-Seed:"):
+                    seen_seeds.add(int(line.split(b":")[1]))
+            img = PIL.Image.open(io.BytesIO(body.rstrip(b"\r\n")))
+            assert img.size == (8, 8)
+        assert seen_seeds == {3, 9, 5}
+
+        # seed+n form
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+        conn.request("GET", "/sample_batch?seed=100&n=2")
+        r = conn.getresponse()
+        raw = r.read()
+        conn.close()
+        assert r.status == 200
+        assert raw.count(b"Content-Type: image/jpeg") == 2
+
+        # bad args -> 400
+        for bad in ("/sample_batch?seeds=,,", "/sample_batch?n=9999",
+                    "/sample_batch?seeds=1,x"):
+            conn = http.client.HTTPConnection("127.0.0.1", port,
+                                              timeout=60)
+            conn.request("GET", bad)
+            r = conn.getresponse()
+            r.read()
+            conn.close()
+            assert r.status == 400, bad
+    finally:
+        httpd.shutdown()
+        srv.stop()
