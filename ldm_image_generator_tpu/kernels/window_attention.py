@@ -244,6 +244,254 @@ def window_mha_pallas(x, mask, wq, bq, wk, bk, wv, bv, wo, bo,
     return out[:n]
 
 
+def _make_bwd_kernel(num_heads: int, tn: int, l: int, c: int, nt: int,
+                     in_dtype, fold: int = 1):
+    """Backward kernel: recomputes qkv/probs per window tile IN VMEM
+    (none of the forward intermediates ever round-trip HBM) and emits
+    dx + fp32 weight grads. Weight grads accumulate in fp32 scratch
+    across the 1-D grid and are written ONCE at the last step — the
+    constant-index accumulating-OUTPUT pattern is mis-scheduled by this
+    Mosaic build (see kernels/ffn_block.py round-4 notes), scratch is
+    not. Bias grads travel as 8-sublane blocks (row 0 = value) for the
+    same reason."""
+    d = c // num_heads
+    scale = 1.0 / float(d) ** 0.5
+    groups = _fold_groups(num_heads, fold)
+
+    def kernel(x_ref, bias_ref, g_ref, wqkv_ref, bqkv_ref, wo_ref,
+               dx_ref, dwqkv_ref, dbqkv_ref, dwo_ref, dbo_ref,
+               swqkv, sbqkv, swo, sbo):
+        from jax.experimental import pallas as pl
+
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _zero():
+            swqkv[...] = jnp.zeros_like(swqkv)
+            sbqkv[...] = jnp.zeros_like(sbqkv)
+            swo[...] = jnp.zeros_like(swo)
+            sbo[...] = jnp.zeros_like(sbo)
+
+        x = x_ref[:].reshape(tn * l, c)
+        g2d = g_ref[:].reshape(tn * l, c)
+        bias = bias_ref[:]  # [TN, L]
+
+        def mm(a, b, dims):
+            return jax.lax.dot_general(a, b, (dims, ((), ())),
+                                       preferred_element_type=jnp.float32)
+
+        def bmm(a, b, dims, batch=((0,), (0,))):
+            return jax.lax.dot_general(a, b, (dims, batch),
+                                       preferred_element_type=jnp.float32)
+
+        # ---- recompute the forward (all in VMEM) ----
+        qkv = (mm(x, wqkv_ref[:], ((1,), (0,)))
+               + bqkv_ref[:].reshape(-1, 3 * c)[0:1].astype(jnp.float32)
+               ).astype(x.dtype)
+        q = qkv[:, 0 * c:1 * c].reshape(tn, l, c)
+        k = qkv[:, 1 * c:2 * c].reshape(tn, l, c)
+        v = qkv[:, 2 * c:3 * c].reshape(tn, l, c)
+
+        # d(out-projection): y = out @ wo + bo
+        dout = mm(g2d, wo_ref[:], ((1,), (1,))).astype(x.dtype)
+        dout3 = dout.reshape(tn, l, c)
+        sbo[...] = sbo[...] + jnp.pad(
+            jnp.sum(g2d.astype(jnp.float32), axis=0, keepdims=True),
+            ((0, 7), (0, 0)))
+
+        out_cols = []   # recomputed `out` group slices (for dwo)
+        dq_cols, dk_cols, dv_cols = [], [], []
+        for h0, f in groups:
+            qg = q[:, :, h0 * d:(h0 + f) * d]
+            kg = k[:, :, h0 * d:(h0 + f) * d]
+            vg = v[:, :, h0 * d:(h0 + f) * d]
+            dacc = dout3[:, :, h0 * d:(h0 + f) * d]
+            if f == 1:
+                scores = bmm(qg, kg, ((2,), (2,))) * scale + bias[:, None, :]
+                probs32 = jax.nn.softmax(scores, axis=-1)
+                probs = probs32.astype(x.dtype)
+                out_cols.append(
+                    bmm(probs, vg, ((2,), (1,))).astype(x.dtype))
+                dprobs = bmm(dacc, vg, ((2,), (2,)))          # [TN,L,S]
+                dvg = bmm(probs, dacc, ((1,), (1,)))          # [TN,S,D]
+                ds = probs32 * (
+                    dprobs - jnp.sum(dprobs * probs32, axis=-1,
+                                     keepdims=True))
+                dsb = (ds * scale).astype(x.dtype)
+                dq_cols.append(bmm(dsb, kg, ((2,), (1,))).astype(x.dtype))
+                dk_cols.append(bmm(dsb, qg, ((1,), (1,))).astype(x.dtype))
+                dv_cols.append(dvg.astype(x.dtype))
+                continue
+
+            ri = jax.lax.broadcasted_iota(jnp.int32, (f * l, f * d), 0) // l
+            ci = jax.lax.broadcasted_iota(jnp.int32, (f * l, f * d), 1) // d
+            diag_c = (ri == ci).astype(x.dtype)
+            rb = jax.lax.broadcasted_iota(jnp.int32, (f * l, f * l), 0) // l
+            cb = jax.lax.broadcasted_iota(jnp.int32, (f * l, f * l), 1) // l
+            blk_c = jnp.where(rb == cb, jnp.float32(0.0),
+                              jnp.float32(NEG_INF))
+
+            tile = lambda a: jnp.concatenate([a] * f, axis=1)
+            qt = tile(qg)
+            kt = tile(kg) * diag_c
+            vt = tile(vg) * diag_c
+            scores = bmm(qt, kt, ((2,), (2,))) * scale
+            kbias = jnp.concatenate([bias] * f, axis=-1)
+            scores = scores + blk_c[None] + kbias[:, None, :]
+            probs32 = jax.nn.softmax(scores, axis=-1)
+            probs = probs32.astype(x.dtype)
+            og = bmm(probs, vt, ((2,), (1,)))                 # [TN,fL,fD]
+            acc = og[:, 0:l, :]
+            for j in range(1, f):
+                acc = acc + og[:, j * l:(j + 1) * l, :]
+            out_cols.append(acc.astype(x.dtype))
+
+            dog = tile(dacc)                                  # [TN,fL,fD]
+            dprobs = bmm(dog, vt, ((2,), (2,)))               # [TN,fL,fL]
+            dvt = bmm(probs, dog, ((1,), (1,)))               # [TN,fL,fD]
+            ds = probs32 * (
+                dprobs - jnp.sum(dprobs * probs32, axis=-1, keepdims=True))
+            dsb = (ds * scale).astype(x.dtype)
+            dqt = bmm(dsb, kt, ((2,), (1,)))                  # [TN,fL,fD]
+            dkt = bmm(dsb, qt, ((1,), (1,)))                  # [TN,fL,fD]
+            dkt = dkt.astype(x.dtype) * diag_c
+            dvt = dvt.astype(x.dtype) * diag_c
+
+            def unfold(a):
+                s = a[:, 0:l, :]
+                for j in range(1, f):
+                    s = s + a[:, j * l:(j + 1) * l, :]
+                return s
+
+            dq_cols.append(unfold(dqt.astype(x.dtype)).astype(x.dtype))
+            dk_cols.append(unfold(dkt))
+            dv_cols.append(unfold(dvt))
+
+        out2d = jnp.concatenate(out_cols, axis=-1).reshape(tn * l, c)
+        swo[...] = swo[...] + mm(out2d, g2d, ((0,), (0,)))
+
+        dq = jnp.concatenate(dq_cols, axis=-1)
+        dk = jnp.concatenate(dk_cols, axis=-1)
+        dv = jnp.concatenate(dv_cols, axis=-1)
+        dqkv = jnp.concatenate(
+            [dq.reshape(tn * l, c), dk.reshape(tn * l, c),
+             dv.reshape(tn * l, c)], axis=-1)                 # [N, 3C]
+
+        dx = mm(dqkv, wqkv_ref[:], ((1,), (1,)))
+        dx_ref[:] = dx.astype(in_dtype).reshape(tn, l, c)
+
+        swqkv[...] = swqkv[...] + mm(x, dqkv, ((0,), (0,)))
+        sbqkv[...] = sbqkv[...] + jnp.pad(
+            jnp.sum(dqkv.astype(jnp.float32), axis=0, keepdims=True),
+            ((0, 7), (0, 0)))
+
+        @pl.when(i == nt - 1)
+        def _write():
+            dwqkv_ref[...] = swqkv[...]
+            dbqkv_ref[...] = sbqkv[...]
+            dwo_ref[...] = swo[...]
+            dbo_ref[...] = sbo[...]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_heads", "tile_windows", "interpret", "fold"),
+)
+def window_mha_bwd_pallas(x, mask, g, wq, bq, wk, bk, wv, bv, wo, bo,
+                          num_heads: int, tile_windows: int = 0,
+                          interpret: bool = False, fold: int = 1):
+    """Fused backward for window MHA. x: [N, L, C], g: out-cotangent
+    [N, L, C]. Returns (dx, dwqkv [C,3C] f32, dbqkv [3C] f32,
+    dwo [C,C] f32, dbo [C] f32) — the caller splits dwqkv/dbqkv into
+    per-projection grads."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, l, c = x.shape
+    if tile_windows == 0:
+        import os
+
+        tile_windows = int(os.environ.get("LDM_ATTN_TN", "0")) or 16
+    tn = min(tile_windows, n)
+    if mask is None:
+        bias = jnp.zeros((n, l), dtype=jnp.float32)
+    else:
+        bias = jnp.where(mask, jnp.float32(NEG_INF), jnp.float32(0.0))
+    n_pad = (-n) % tn
+    if n_pad:
+        # zero x/g rows contribute nothing to any grad
+        x = jnp.pad(x, ((0, n_pad), (0, 0), (0, 0)))
+        g = jnp.pad(g, ((0, n_pad), (0, 0), (0, 0)))
+        bias = jnp.pad(bias, ((0, n_pad), (0, 0)))
+    nt = (n + n_pad) // tn
+
+    wqkv = jnp.concatenate([wq, wk, wv], axis=1)
+    bqkv = jnp.pad(jnp.concatenate(
+        [bq.reshape(1, c), bk.reshape(1, c), bv.reshape(1, c)], axis=1
+    ), ((0, 7), (0, 0)))  # 8-sublane bias blocks (kernels/ffn_block.py)
+
+    f32 = jnp.float32
+    tile3 = lambda: pl.BlockSpec((tn, l, c), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    const2 = lambda r, cc: pl.BlockSpec((r, cc), lambda i: (0, 0),
+                                        memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        _make_bwd_kernel(num_heads, tn, l, c, nt, x.dtype, fold=fold),
+        grid=(nt,),
+        in_specs=[
+            tile3(),
+            pl.BlockSpec((tn, l), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            tile3(),
+            const2(c, 3 * c), const2(8, 3 * c), const2(c, c),
+        ],
+        out_specs=[
+            tile3(),
+            const2(c, 3 * c), const2(8, 3 * c),
+            const2(c, c), const2(8, c),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n + n_pad, l, c), x.dtype),
+            jax.ShapeDtypeStruct((c, 3 * c), f32),
+            jax.ShapeDtypeStruct((8, 3 * c), f32),
+            jax.ShapeDtypeStruct((c, c), f32),
+            jax.ShapeDtypeStruct((8, c), f32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((c, 3 * c), f32),
+            pltpu.VMEM((8, 3 * c), f32),
+            pltpu.VMEM((c, c), f32),
+            pltpu.VMEM((8, c), f32),
+        ],
+        interpret=interpret,
+    )(x, bias, g, wqkv, bqkv, wo)
+    dx, dwqkv, dbqkv, dwo, dbo = outs
+    return (dx[:n], dwqkv, dbqkv[0], dwo, dbo[0])
+
+
+def _attn_bwd_usable(x, c: int) -> bool:
+    """Pallas attention backward availability. Default XLA until the
+    kernel is hardware-validated (LDM_ATTN_BWD=pallas opts in; =xla
+    forces off). VMEM envelope: the dominant terms are the two fp32
+    weight-grad accumulators + their output blocks (2 x (4C^2 + C^2)
+    f32) plus the bf16 weights — ~52MB at C=1024, comfortably inside a
+    v5e core's 128MB."""
+    import os
+
+    mode = os.environ.get("LDM_ATTN_BWD", "")
+    if mode == "xla":
+        return False
+    if mode != "pallas":
+        return False  # flip default after hardware validation
+    return (
+        jax.default_backend() in ("tpu", "axon")
+        and c % 128 == 0
+        and jnp.dtype(x.dtype).itemsize == 2
+    )
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11))
 def fused_window_mha(x, mask, wq, bq, wk, bk, wv, bv, wo, bo,
                      num_heads: int, fold: int = 1):
@@ -260,6 +508,35 @@ def _fwd(x, mask, wq, bq, wk, bk, wv, bv, wo, bo, num_heads, fold):
 
 def _bwd(num_heads, fold, res, g):
     x, mask, wq, bq, wk, bk, wv, bv, wo, bo = res
+    c = x.shape[-1]
+    if _attn_bwd_usable(x, c):
+        from ldm_image_generator_tpu.kernels.dispatch import pallas_usable
+
+        sig = ("attn_bwd", x.shape, jnp.dtype(x.dtype).name,
+               mask is not None, num_heads, fold)
+        thunk = lambda: window_mha_bwd_pallas.lower(
+            jax.ShapeDtypeStruct(x.shape, x.dtype),
+            None if mask is None else jax.ShapeDtypeStruct(
+                mask.shape, mask.dtype),
+            jax.ShapeDtypeStruct(x.shape, g.dtype),
+            *[jax.ShapeDtypeStruct(w.shape, w.dtype) for w in
+              (wq, bq, wk, bk, wv, bv, wo, bo)],
+            num_heads=num_heads, fold=fold,
+        ).compile()
+        if pallas_usable("window_attention_bwd", sig, thunk):
+            dx, dwqkv, dbqkv, dwo, dbo = window_mha_bwd_pallas(
+                x, mask, g, wq, bq, wk, bk, wv, bv, wo, bo,
+                num_heads=num_heads, fold=fold,
+            )
+            cast = lambda a, r: a.astype(r.dtype)
+            return (dx, None,
+                    cast(dwqkv[:, 0 * c:1 * c], wq),
+                    cast(dbqkv[0 * c:1 * c], bq),
+                    cast(dwqkv[:, 1 * c:2 * c], wk),
+                    cast(dbqkv[1 * c:2 * c], bk),
+                    cast(dwqkv[:, 2 * c:3 * c], wv),
+                    cast(dbqkv[2 * c:3 * c], bv),
+                    cast(dwo, wo), cast(dbo, bo))
     _, vjp = jax.vjp(
         lambda x, wq, bq, wk, bk, wv, bv, wo, bo: window_mha_xla(
             x, mask, wq, bq, wk, bk, wv, bv, wo, bo, num_heads

@@ -182,3 +182,50 @@ def test_fused_window_mha_grad_matches_xla():
                                atol=1e-4)
     np.testing.assert_allclose(np.asarray(gw), np.asarray(rw), rtol=1e-4,
                                atol=1e-4)
+
+
+@pytest.mark.parametrize("n,l,c,h,fold", [
+    (13, 36, 128, 4, 1),    # per-head path, ragged tile
+    (16, 36, 256, 8, 4),    # folded path
+    (8, 16, 256, 8, 8),     # short full-map sequence, full fold
+    (6, 36, 256, 8, 5),     # ragged groups (5, 3)
+])
+def test_window_mha_bwd_pallas_matches_xla_vjp(n, l, c, h, fold):
+    """The fused Pallas attention backward must reproduce the XLA VJP:
+    dx and every projection weight/bias grad, masked and unmasked, for
+    per-head and head-folded group partitions."""
+    from ldm_image_generator_tpu.kernels.window_attention import (
+        window_mha_bwd_pallas,
+        window_mha_xla,
+    )
+
+    ks = jax.random.split(jax.random.PRNGKey(2), 11)
+    x = jax.random.normal(ks[0], (n, l, c))
+    g = jax.random.normal(ks[10], (n, l, c))
+    w = lambda i: jax.random.normal(ks[i], (c, c)) * 0.05
+    b = lambda i: jax.random.normal(ks[i + 4], (c,)) * 0.01
+    wq, wk, wv, wo = w(1), w(2), w(3), w(4)
+    bq, bk, bv, bo = b(1), b(2), b(3), b(4)
+    mask = jax.random.uniform(ks[9], (n, l)) < 0.25
+
+    for m in (mask, None):
+        _, vjp = jax.vjp(
+            lambda x_, *ws: window_mha_xla(x_, m, *ws, num_heads=h),
+            x, wq, bq, wk, bk, wv, bv, wo, bo,
+        )
+        rx, rwq, rbq, rwk, rbk, rwv, rbv, rwo, rbo = vjp(g)
+        dx, dwqkv, dbqkv, dwo, dbo = window_mha_bwd_pallas(
+            x, m, g, wq, bq, wk, bk, wv, bv, wo, bo,
+            num_heads=h, interpret=True, fold=fold,
+        )
+        cmp = lambda a, r: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(r), rtol=2e-4, atol=2e-4)
+        cmp(dx, rx)
+        cmp(dwqkv[:, 0 * c:1 * c], rwq)
+        cmp(dwqkv[:, 1 * c:2 * c], rwk)
+        cmp(dwqkv[:, 2 * c:3 * c], rwv)
+        cmp(dbqkv[0 * c:1 * c], rbq)
+        cmp(dbqkv[1 * c:2 * c], rbk)
+        cmp(dbqkv[2 * c:3 * c], rbv)
+        cmp(dwo, rwo)
+        cmp(dbo, rbo)
