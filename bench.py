@@ -86,6 +86,33 @@ def main():
         for s in sizes:  # interleaved: host steal hits both metrics
             trials[s].append(one_trial(runners[s], batch, s, trial))
 
+    # DeepCache variant (NOT the headline): deep-core reuse at interval
+    # 2 (pipelines.sample cache_interval; quality delta measured by
+    # benchmarks/quality_gate.py's deepcache pass). Exact-numerics
+    # metrics above stay the headline.
+    def run_dc(seed):
+        return jax.device_get(pipe.sample(
+            unet_params, dec_params, jax.random.PRNGKey(seed),
+            batch=batch, image_size=256, num_steps=20, cache_interval=2,
+        ))
+
+    run_dc(0)  # compile
+    dc_trials = []
+    for trial in range(TRIALS):
+        t0 = time.perf_counter()
+        for i in range(ITERS_PER_TRIAL):
+            run_dc(200 + trial * ITERS_PER_TRIAL + i)
+        dc_trials.append(
+            ITERS_PER_TRIAL * batch / (time.perf_counter() - t0))
+    print(json.dumps({
+        "metric": f"ldm_sample_256px_deepcache2_images_per_s_batch{batch}",
+        "value": round(statistics.median(dc_trials), 4),
+        "unit": "images/s",
+        "vs_baseline": round(statistics.median(dc_trials)
+                             / BASELINE_IMAGES_PER_S, 2),
+        "trials": [round(v, 4) for v in dc_trials],
+    }), flush=True)
+
     # Pipelined-dispatch variant (NOT the headline): issue all sampling
     # calls, then fetch — what any production client (or the serving
     # daemon) does, hiding the ~45ms/call tunnel round-trip behind

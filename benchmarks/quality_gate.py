@@ -240,10 +240,11 @@ def main():
     pipe = LDMPipeline(ucfg, vcfg, ddpm_cfg, dtype=jnp.bfloat16)
     dec_params = {"params": vp["decoder"]}
 
-    def eval_kid(params, tag, sampler="ddim", num_steps=20):
+    def eval_kid(params, tag, sampler="ddim", num_steps=20,
+                 cache_interval=1):
         imgs = pipe.sample(params, dec_params, jax.random.PRNGKey(42),
                            batch=16, image_size=256, num_steps=num_steps,
-                           sampler=sampler)
+                           sampler=sampler, cache_interval=cache_interval)
         imgs = np.asarray(jax.device_get(imgs))
         grid = imgs.reshape(4, 4, 256, 256, 3).transpose(
             0, 2, 1, 3, 4).reshape(4 * 256, 4 * 256, 3)
@@ -295,6 +296,19 @@ def main():
     log({"phase": "dpm2m", "kid": round(dpm_kid, 5),
          "kid_std": round(dpm_std, 5)})
 
+    # DeepCache pass (arXiv 2312.03209-style deep-core reuse,
+    # pipelines.sample cache_interval): measure the quality cost of the
+    # approximation on the SAME trained weights/eval so the sampling
+    # speedup ships with a KID delta, not a hope
+    dc_kids = {}
+    for ci in (2, 3):
+        m_dc, s_dc = eval_kid(lstate.params, f"final_dc{ci}",
+                              cache_interval=ci)
+        log({"phase": "deepcache", "interval": ci, "kid": round(m_dc, 5),
+             "kid_std": round(s_dc, 5)})
+        dc_kids[str(ci)] = {"kid": round(m_dc, 5),
+                            "kid_std": round(s_dc, 5)}
+
     # monotone after warmup: past the first third of training, each
     # eval's KID is no worse than the previous eval + noise (2 sigma)
     post = [k for k in kids if k["step"] >= ldm_steps // 3]
@@ -310,6 +324,11 @@ def main():
         "monotone_after_warmup": bool(monotone),
         # dpm++2m-10 matches ddim-20 if within 2 sigma of the KID noise
         "dpm2m_10step_kid": round(dpm_kid, 5),
+        "deepcache_kid": dc_kids,
+        "deepcache2_matches_ddim": bool(
+            dc_kids["2"]["kid"] <= final_ddim
+            + 2 * max(kids[-1]["kid_std"], dc_kids["2"]["kid_std"])
+        ),
         "dpm2m_matches_ddim20": bool(
             dpm_kid <= final_ddim + 2 * max(kids[-1]["kid_std"], dpm_std)
         ),

@@ -25,6 +25,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-t", "--timesteps", default=20, type=int)
     p.add_argument("--seed", default=0, type=int)
     p.add_argument("--eta", default=0.0, type=float)
+    p.add_argument("--cache-interval", default=1, type=int,
+                   help="DeepCache-style deep-feature reuse: recompute "
+                        "the UNet's deep core every N sampler steps and "
+                        "reuse it in between (~(1-1/n_stages) FLOP cut "
+                        "on reused steps; approximation - 1 disables; "
+                        "plain DDIM only)")
     p.add_argument("--sampler", default="ddim", choices=["ddim", "dpm++2m"],
                    help="dpm++2m: 2nd-order solver, ~half the steps for "
                         "DDIM-20 quality")
@@ -145,6 +151,7 @@ def main(argv=None):
             batch=args.numimages, image_size=args.size,
             num_steps=args.timesteps, eta=args.eta, sampler=args.sampler,
             condition=condition, guidance_scale=args.guidance_scale,
+            cache_interval=args.cache_interval,
         )
     imgs = jax.device_get(imgs)
     os.makedirs(args.outdir, exist_ok=True)

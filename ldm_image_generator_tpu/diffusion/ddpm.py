@@ -182,6 +182,7 @@ def ddim_sample(
     init_noise: Optional[jnp.ndarray] = None,
     prediction: str = "eps",
     project_fn=None,
+    deep_cache=None,
 ) -> jnp.ndarray:
     """DDIM reverse sampler as one lax.scan (ddpm.py:52-93, jitted whole).
 
@@ -196,6 +197,13 @@ def ddim_sample(
     where x is already in x0 space). Used for latent inpainting — the
     known region is re-noised to t_next and blended in each step
     (RePaint-style single-pass projection).
+    deep_cache: (fresh_fn, cached_fn, deep0, interval) — DeepCache-style
+    deep-feature reuse (models/unet.py deep/with_deep): fresh_fn(x, t,
+    k) -> (pred, deep) recomputes the UNet's deep core and returns its
+    output; cached_fn(x, t, k, deep) -> pred reuses it. The scan
+    refreshes the cache every `interval` steps (step 0 is always
+    fresh) and reuses it otherwise — the denoise_fn argument is ignored
+    when set.
     """
     ts, ts_next = ddim_step_pairs(schedule.num_timesteps, num_steps, steps)
     ts = jnp.asarray(ts)
@@ -209,14 +217,25 @@ def ddim_sample(
         x = init_noise.astype(dtype)
     b = x_shape[0]
 
+    def model(x, t_vec, k_model, deep, i):
+        if deep_cache is None:
+            return denoise_fn(x, t_vec, k_model), deep
+        fresh_fn, cached_fn, _, interval = deep_cache
+        return jax.lax.cond(
+            i % interval == 0,
+            lambda x_, k_, d_: fresh_fn(x_, t_vec, k_),
+            lambda x_, k_, d_: (cached_fn(x_, t_vec, k_, d_), d_),
+            x, k_model, deep,
+        )
+
     def body(carry, step):
-        x, k = carry
+        x, k, deep, i = carry
         t, t_next = step
         k, k_noise, k_model = jax.random.split(k, 3)
         # one shared timestep per DDIM step: pass t with batch dim 1 and
         # let the model's time conditioning broadcast over the image batch
         t_vec = jnp.full((1,), t, dtype=jnp.int32)
-        pred = denoise_fn(x, t_vec, k_model)
+        pred, deep = model(x, t_vec, k_model, deep, i)
         eps_hat, x0 = pred_to_eps_x0(pred, x, alpha_bar[t], prediction)
 
         a_t = alpha_bar[t]
@@ -236,7 +255,9 @@ def ddim_sample(
         if project_fn is not None:
             k, k_proj = jax.random.split(k)
             x = project_fn(x, t_next, t == 0, k_proj).astype(dtype)
-        return (x, k), None
+        return (x, k, deep, i + 1), None
 
-    (x, _), _ = jax.lax.scan(body, (x, key), (ts, ts_next))
+    deep0 = deep_cache[2] if deep_cache is not None else jnp.zeros((), dtype)
+    (x, _, _, _), _ = jax.lax.scan(
+        body, (x, key, deep0, jnp.zeros((), jnp.int32)), (ts, ts_next))
     return x

@@ -50,6 +50,8 @@ class UNet(nn.Module):
         deterministic: bool = True,
         film=None,
         collect_film: bool = False,
+        deep=None,
+        with_deep: bool = False,
     ) -> jnp.ndarray:
         """Denoise `x` at timestep(s) `time`.
 
@@ -61,7 +63,20 @@ class UNet(nn.Module):
         tensors; `film=<that pytree sliced to one step>` replays it,
         so a DDIM scan streams the FiLM weights zero times instead of
         once per step. Numerics identical to the inline path.
-        """
+
+        Deep-feature cache (DeepCache-style sampling optimization —
+        "Cache Me if You Can" arXiv:2312.03209 / "Faster Diffusion"
+        arXiv:2312.09608 applied to this UNet): the network's "deep
+        core" (everything between `down_0` and the output of
+        `dec_chconv_0`, i.e. stages 1..n-1 of both the encoder and
+        decoder) changes slowly across adjacent sampler timesteps, while
+        the outermost stage tracks x_t. `with_deep=True` additionally
+        returns that deep-core output; `deep=<a previous step's deep
+        output>` skips the deep core entirely and reuses it — only
+        enc_stage_0 + the skip add + dec_stage_0 + unstem run. The
+        sampler refreshes the cache every `cache_interval` steps
+        (diffusion/ddpm.py ddim_sample deep_cache). Requires >= 2
+        stages."""
         cfg = self.cfg
         chs = list(cfg.channels)
         stages = list(cfg.stages)
@@ -138,38 +153,53 @@ class UNet(nn.Module):
             )
 
         films = {}
-        # jax.named_scope: per-stage attribution in jax.profiler traces
-        # (docs/PERF.md methodology; scopes show up as TraceMe names)
-        skips = []
-        for i in range(n):
-            with jax.named_scope(f"enc_stage_{i}"):
-                x = run_stack(i, False, f"enc_stage_{i}", x)
-                if collect_film:
-                    x, films[f"enc_stage_{i}"] = x
-            if i == n - 1:
-                skips.append(None)  # zero bottleneck skip (unet.py:95)
-            else:
-                skips.append(x)
-                with jax.named_scope(f"down_{i}"):
-                    x = nn.Dense(
-                        chs[i + 1], dtype=self.dtype, name=f"enc_chconv_{i}"
-                    )(x)
-                    x = avg_pool_2x(x)
+        deep_out = None
+        if deep is not None:
+            # deep-cache fast path: outermost stage only; the cached
+            # deep-core output stands in for stages 1..n-1
+            assert not collect_film and n >= 2
+            with jax.named_scope("enc_stage_0"):
+                x = run_stack(0, False, "enc_stage_0", x)
+            deep_out = deep.astype(self.dtype)
+            x = deep_out + x
+            with jax.named_scope("dec_stage_0"):
+                x = run_stack(0, True, "dec_stage_0", x)
+        else:
+            # jax.named_scope: per-stage attribution in jax.profiler
+            # traces (docs/PERF.md; scopes show up as TraceMe names)
+            skips = []
+            for i in range(n):
+                with jax.named_scope(f"enc_stage_{i}"):
+                    x = run_stack(i, False, f"enc_stage_{i}", x)
+                    if collect_film:
+                        x, films[f"enc_stage_{i}"] = x
+                if i == n - 1:
+                    skips.append(None)  # zero bottleneck skip (unet.py:95)
+                else:
+                    skips.append(x)
+                    with jax.named_scope(f"down_{i}"):
+                        x = nn.Dense(
+                            chs[i + 1], dtype=self.dtype,
+                            name=f"enc_chconv_{i}"
+                        )(x)
+                        x = avg_pool_2x(x)
 
-        for i in reversed(range(n)):
-            if i != n - 1:
-                with jax.named_scope(f"up_{i}"):
-                    x = upsample_nearest_2x(x)
-                    x = nn.Dense(
-                        chs[i], dtype=self.dtype, name=f"dec_chconv_{i}"
-                    )(x)
-            s = skips[i]
-            if s is not None:
-                x = x + s
-            with jax.named_scope(f"dec_stage_{i}"):
-                x = run_stack(i, True, f"dec_stage_{i}", x)
-                if collect_film:
-                    x, films[f"dec_stage_{i}"] = x
+            for i in reversed(range(n)):
+                if i != n - 1:
+                    with jax.named_scope(f"up_{i}"):
+                        x = upsample_nearest_2x(x)
+                        x = nn.Dense(
+                            chs[i], dtype=self.dtype, name=f"dec_chconv_{i}"
+                        )(x)
+                if i == 0 and n >= 2:
+                    deep_out = x  # the cacheable deep-core output
+                s = skips[i]
+                if s is not None:
+                    x = x + s
+                with jax.named_scope(f"dec_stage_{i}"):
+                    x = run_stack(i, True, f"dec_stage_{i}", x)
+                    if collect_film:
+                        x, films[f"dec_stage_{i}"] = x
 
         if collect_film:
             return films
@@ -178,4 +208,6 @@ class UNet(nn.Module):
             cfg.input_channels, (stem, stem), strides=(stem, stem), padding="VALID",
             dtype=self.dtype, name="decoder_last",
         )(x)
+        if with_deep:
+            return x, deep_out
         return x

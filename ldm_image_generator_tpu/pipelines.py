@@ -75,7 +75,7 @@ def make_cached_denoise(unet, unet_params, num_timesteps: int,
         unet_params, probe, ts_arr, deterministic=True, collect_film=True
     )
 
-    def denoise(x, t_vec, k, condition=None):
+    def denoise(x, t_vec, k, condition=None, deep=None, with_deep=False):
         matches = ts_arr == t_vec[0]
         i = jnp.argmax(matches)
         hit = jnp.any(matches)
@@ -83,10 +83,13 @@ def make_cached_denoise(unet, unet_params, num_timesteps: int,
             lambda a: jnp.where(hit, a[i], jnp.nan).astype(a.dtype)[None],
             film_cache,
         )
-        return unet.apply(
+        out = unet.apply(
             unet_params, x, t_vec, condition, deterministic=True,
-            film=film_i, rngs={"moe": k},
-        ).astype(jnp.float32)
+            film=film_i, rngs={"moe": k}, deep=deep, with_deep=with_deep,
+        )
+        if with_deep:
+            return out[0].astype(jnp.float32), out[1]
+        return out.astype(jnp.float32)
 
     return denoise
 
@@ -129,11 +132,15 @@ class LDMPipeline:
                 steps=steps,
             )
         else:
-            def base(x, t_vec, k, condition=None):
-                return self.unet.apply(
+            def base(x, t_vec, k, condition=None, deep=None,
+                     with_deep=False):
+                out = self.unet.apply(
                     unet_params, x, t_vec, condition, deterministic=True,
-                    rngs={"moe": k},
-                ).astype(jnp.float32)
+                    rngs={"moe": k}, deep=deep, with_deep=with_deep,
+                )
+                if with_deep:
+                    return out[0].astype(jnp.float32), out[1]
+                return out.astype(jnp.float32)
 
         # guidance_scale is either a static Python float (scale baked
         # into the jitted program; != 1.0 selects CFG at trace time) or
@@ -148,7 +155,7 @@ class LDMPipeline:
             and jnp.issubdtype(condition.dtype, jnp.integer)
         )
         if condition is None:
-            return base
+            return base, base, use_cfg
         if use_cfg:
             null = jnp.full_like(condition, self.unet_cfg.num_classes)
             gs = (
@@ -163,15 +170,15 @@ class LDMPipeline:
                 pred_u = base(x, t_vec, k, null)
                 return pred_u + gs * (pred_c - pred_u)
 
-            return denoise
+            return denoise, base, use_cfg
 
         def denoise(x, t_vec, k):
             return base(x, t_vec, k, condition)
 
-        return denoise
+        return denoise, base, use_cfg
 
     @functools.partial(jax.jit,
-                       static_argnums=(0, 4, 5, 6, 7, 8, 9, 11, 13))
+                       static_argnums=(0, 4, 5, 6, 7, 8, 9, 11, 13, 15))
     def sample(
         self,
         unet_params,
@@ -188,6 +195,7 @@ class LDMPipeline:
         condition: Optional[jnp.ndarray] = None,
         guidance_scale: float = 1.0,
         guidance_scales: Optional[jnp.ndarray] = None,
+        cache_interval: int = 1,
     ) -> jnp.ndarray:
         """Returns uint8 images [batch, image_size, image_size, 3].
 
@@ -208,18 +216,46 @@ class LDMPipeline:
         (the capability the reference stubs out, ddpm.py:78).
         guidance_scales: traced f32 [batch] per-sample scales overriding
         guidance_scale — the serving layer's per-request CFG knob (one
-        compiled program for every scale)."""
+        compiled program for every scale).
+        cache_interval: DeepCache-style deep-feature reuse (arXiv
+        2312.03209 / 2312.09608, models/unet.py deep/with_deep): the
+        UNet's deep core (stages 1..n-1) is recomputed every
+        `cache_interval` sampler steps and reused in between — N-1 of
+        every N steps run only the outermost stage (~1/n of the
+        FLOPs). 1 = off (exact reference numerics). An approximation:
+        gate quality with benchmarks/quality_gate.py's deepcache pass
+        before shipping a given interval. DDIM-only, not with CFG."""
         latent = image_size // self.vae_cfg.downscale
         shape = (batch, latent, latent, self.unet_cfg.input_channels)
         unet_params = cast_floating(unet_params, self.unet.dtype)
         decoder_params = cast_floating(decoder_params, self.decoder.dtype)
 
-        denoise = self._denoise_fn(
+        denoise, base, use_cfg = self._denoise_fn(
             unet_params, latent, num_steps, steps, film_cache,
             condition,
             guidance_scales if guidance_scales is not None
             else guidance_scale,
         )
+
+        deep_cache = None
+        if cache_interval > 1:
+            if sampler != "ddim" or use_cfg:
+                raise ValueError(
+                    "cache_interval > 1 supports the plain DDIM path "
+                    "only (no dpm++2m, no classifier-free guidance)"
+                )
+            if len(self.unet_cfg.stages) < 2:
+                raise ValueError(
+                    "cache_interval > 1 needs a UNet with >= 2 stages"
+                )
+            deep0 = jnp.zeros(
+                (batch, latent, latent, self.unet_cfg.channels[0]),
+                self.unet.dtype,
+            )
+            fresh = lambda x, t, k: base(x, t, k, condition,
+                                         with_deep=True)
+            cached = lambda x, t, k, d: base(x, t, k, condition, deep=d)
+            deep_cache = (fresh, cached, deep0, cache_interval)
 
         if sampler == "dpm++2m":
             z = dpm_solver_sample(
@@ -231,7 +267,7 @@ class LDMPipeline:
             z = ddim_sample(
                 denoise, self.schedule, key, shape, num_steps=num_steps,
                 eta=eta, prediction=self.prediction, init_noise=init_noise,
-                steps=steps,
+                steps=steps, deep_cache=deep_cache,
             )
         img = self.decoder.apply(decoder_params, z)
         return to_uint8(img)
@@ -306,7 +342,7 @@ class LDMPipeline:
             self.schedule, z0, jnp.full((b,), t_start, jnp.int32), eps
         )
 
-        denoise = self._denoise_fn(
+        denoise, _, _ = self._denoise_fn(
             unet_params, latent, num_steps, sub_steps, film_cache,
             condition,
             guidance_scales if guidance_scales is not None
