@@ -82,6 +82,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="image size(s) to serve; first is the default")
     p.add_argument("-t", "--timesteps", default=20, type=int)
     p.add_argument("--sampler", default="ddim", choices=["ddim", "dpm++2m"])
+    p.add_argument("--cache-interval", default=1, type=int,
+                   help="DeepCache deep-feature reuse for the NON-guided "
+                        "sample variants (plain DDIM only; guided/img2img "
+                        "buckets ignore it): recompute the UNet's deep "
+                        "core every N sampler steps (1 = off; "
+                        "approximation - gate with quality_gate.py)")
     p.add_argument("--port", default=8080, type=int)
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--buckets", nargs="+", type=int, default=[1, 2, 4, 8])
@@ -182,6 +188,8 @@ def make_sampler(args):
                 batch=batch, image_size=size, num_steps=args.timesteps,
                 sampler=args.sampler, init_noise=noise,
                 condition=class_ids,
+                cache_interval=(args.cache_interval
+                                if args.sampler == "ddim" else 1),
             )
 
         return pipeline_sample
