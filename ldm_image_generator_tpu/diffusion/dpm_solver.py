@@ -41,11 +41,14 @@ def dpm_solver_sample(
     dtype=jnp.float32,
     prediction: str = "eps",
     init_noise: Optional[jnp.ndarray] = None,
+    deep_cache=None,
 ) -> jnp.ndarray:
     """DPM-Solver++(2M). denoise_fn(x, t_vec [1], key) -> model output in
     the `prediction` parameterization ('eps' or 'v'); the solver itself is
     x0-parameterized, so both convert through pred_to_eps_x0.
-    init_noise overrides the internally drawn x_T (like ddim_sample)."""
+    init_noise overrides the internally drawn x_T (like ddim_sample).
+    deep_cache: (fresh_fn, cached_fn, deep0, interval) — DeepCache-style
+    deep-feature reuse, same contract as ddim_sample's."""
     if steps is None:
         ts = np.linspace(0, schedule.num_timesteps - 1, num_steps).astype(
             np.int32
@@ -65,15 +68,26 @@ def dpm_solver_sample(
     else:
         x = init_noise.astype(jnp.float32)
 
-    def x0_of(x, t, k):
+    def x0_of(x, t, k, deep, i):
         t_vec = jnp.full((1,), t, dtype=jnp.int32)
-        pred = denoise_fn(x.astype(dtype), t_vec, k)
+        if deep_cache is None:
+            pred = denoise_fn(x.astype(dtype), t_vec, k)
+        else:
+            fresh_fn, cached_fn, _, interval = deep_cache
+            pred, deep = jax.lax.cond(
+                i % interval == 0,
+                lambda x_, k_, d_: fresh_fn(x_, t_vec, k_),
+                lambda x_, k_, d_: (cached_fn(x_, t_vec, k_, d_), d_),
+                x.astype(dtype), k, deep,
+            )
         _, x0 = pred_to_eps_x0(pred, x, ab[t], prediction)
-        return x0
+        return x0, deep
 
+    deep = (deep_cache[2] if deep_cache is not None
+            else jnp.zeros((), dtype))
     t0 = jnp.asarray(ts[0])
     key, k0 = jax.random.split(key)
-    x0_prev = x0_of(x, t0, k0)
+    x0_prev, deep = x0_of(x, t0, k0, deep, jnp.zeros((), jnp.int32))
 
     # first transition (1st order) to ts[1]
     def first_step(x, t_prev, t_cur, x0):
@@ -90,28 +104,32 @@ def dpm_solver_sample(
 
     if len(ts) == 2:
         key, k1 = jax.random.split(key)
-        return x0_of(x, jnp.asarray(ts[1]), k1).astype(dtype)
+        x0, _ = x0_of(x, jnp.asarray(ts[1]), k1, deep,
+                      jnp.ones((), jnp.int32))
+        return x0.astype(dtype)
 
     triples = jnp.stack(
         [ts[1:-1], ts[2:], np.arange(len(ts) - 2)], axis=-1
     )  # (t_cur, t_next, i)
 
     def body(carry, trip):
-        x, x0_prev, h_prev, k = carry
-        t_cur, t_next, _ = trip
+        x, x0_prev, h_prev, k, deep = carry
+        t_cur, t_next, i = trip
         k, k_model = jax.random.split(k)
-        x0_cur = x0_of(x, t_cur, k_model)
+        x0_cur, deep = x0_of(x, t_cur, k_model, deep, i + 1)
         h = lam[t_next] - lam[t_cur]
         r = h_prev / h
         d = (1.0 + 1.0 / (2.0 * r)) * x0_cur - (1.0 / (2.0 * r)) * x0_prev
         x_new = (sigma[t_next] / sigma[t_cur]) * x - alpha[t_next] * (
             jnp.exp(-h) - 1.0
         ) * d
-        return (x_new, x0_cur, h, k), None
+        return (x_new, x0_cur, h, k, deep), None
 
-    (x, x0_prev, _, key), _ = jax.lax.scan(
-        body, (x, x0_prev, h_prev, key), triples
+    (x, x0_prev, _, key, deep), _ = jax.lax.scan(
+        body, (x, x0_prev, h_prev, key, deep), triples
     )
     # final: return the x0 prediction at the lowest-noise state
     key, k_last = jax.random.split(key)
-    return x0_of(x, jnp.asarray(ts[-1]), k_last).astype(dtype)
+    x0, _ = x0_of(x, jnp.asarray(ts[-1]), k_last, deep,
+                  jnp.asarray(len(ts) - 1, jnp.int32))
+    return x0.astype(dtype)

@@ -224,7 +224,7 @@ class LDMPipeline:
         every N steps run only the outermost stage (~1/n of the
         FLOPs). 1 = off (exact reference numerics). An approximation:
         gate quality with benchmarks/quality_gate.py's deepcache pass
-        before shipping a given interval. DDIM-only, not with CFG."""
+        before shipping a given interval. Not with CFG."""
         latent = image_size // self.vae_cfg.downscale
         shape = (batch, latent, latent, self.unet_cfg.input_channels)
         unet_params = cast_floating(unet_params, self.unet.dtype)
@@ -239,10 +239,10 @@ class LDMPipeline:
 
         deep_cache = None
         if cache_interval > 1:
-            if sampler != "ddim" or use_cfg:
+            if use_cfg:
                 raise ValueError(
-                    "cache_interval > 1 supports the plain DDIM path "
-                    "only (no dpm++2m, no classifier-free guidance)"
+                    "cache_interval > 1 is not supported with "
+                    "classifier-free guidance"
                 )
             if len(self.unet_cfg.stages) < 2:
                 raise ValueError(
@@ -261,7 +261,7 @@ class LDMPipeline:
             z = dpm_solver_sample(
                 denoise, self.schedule, key, shape, num_steps=num_steps,
                 prediction=self.prediction, init_noise=init_noise,
-                steps=steps,
+                steps=steps, deep_cache=deep_cache,
             )
         else:
             z = ddim_sample(

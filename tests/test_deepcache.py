@@ -89,6 +89,27 @@ def test_pipeline_cache_interval_rejects_unsupported():
     t = jnp.zeros((1,), jnp.int32)
     up = pipe.unet.init({"params": key, "moe": key}, z, t)
     dp = pipe.decoder.init(key, z)
+    cond = jnp.zeros((1,), jnp.int32)
+    import dataclasses
+    ucfg_c = dataclasses.replace(UNetConfig().tiny(), num_classes=3)
+    pipe_c = LDMPipeline(ucfg_c, VAEConfig().tiny(),
+                         DDPMConfig(num_timesteps=50), dtype=jnp.float32)
+    up_c = pipe_c.unet.init({"params": key, "moe": key}, z, t)
     with pytest.raises(ValueError):
-        pipe.sample(up, dp, key, batch=1, image_size=64, num_steps=4,
-                    sampler="dpm++2m", cache_interval=2)
+        pipe_c.sample(up_c, dp, key, batch=1, image_size=64, num_steps=4,
+                      condition=cond, guidance_scale=2.0,
+                      cache_interval=2)
+
+
+def test_pipeline_cache_interval_dpm2m_samples():
+    pipe = LDMPipeline(UNetConfig().tiny(), VAEConfig().tiny(),
+                       DDPMConfig(num_timesteps=50), dtype=jnp.float32)
+    key = jax.random.PRNGKey(0)
+    z = jnp.zeros((1, 8, 8, pipe.unet_cfg.input_channels))
+    t = jnp.zeros((1,), jnp.int32)
+    up = pipe.unet.init({"params": key, "moe": key}, z, t)
+    dp = pipe.decoder.init(key, z)
+    img = pipe.sample(up, dp, key, batch=1, image_size=64, num_steps=6,
+                      sampler="dpm++2m", cache_interval=2)
+    assert img.shape == (1, 64, 64, 3)
+    assert int(np.asarray(img).std()) >= 0
