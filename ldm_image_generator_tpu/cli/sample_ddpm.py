@@ -23,6 +23,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-t", "--timesteps", default=20, type=int)
     p.add_argument("--seed", default=0, type=int)
     p.add_argument("--eta", default=0.0, type=float)
+    p.add_argument("--cache-interval", default=1, type=int,
+                   help="DeepCache deep-feature reuse: recompute the "
+                        "UNet's deep core every N sampler steps "
+                        "(1 = off; approximation)")
     p.add_argument("--sampler", default="ddim", choices=["ddim", "dpm++2m"],
                    help="dpm++2m: 2nd-order solver, ~half the steps for "
                         "DDIM-20 quality")
@@ -69,7 +73,8 @@ def main(argv=None):
         img = pipe.sample(params, jax.random.PRNGKey(args.seed + i),
                           batch=1, image_size=args.size,
                           num_steps=args.timesteps, eta=args.eta,
-                          sampler=args.sampler)
+                          sampler=args.sampler,
+                          cache_interval=args.cache_interval)
         save_image(jax.device_get(img)[0],
                    os.path.join(args.outdir, f"{i}.jpg"))
     print(f"saved {args.numimages} images to {args.outdir}")

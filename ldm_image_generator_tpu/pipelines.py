@@ -248,8 +248,10 @@ class LDMPipeline:
                 raise ValueError(
                     "cache_interval > 1 needs a UNet with >= 2 stages"
                 )
+            st = self.unet_cfg.stem_size
             deep0 = jnp.zeros(
-                (batch, latent, latent, self.unet_cfg.channels[0]),
+                (batch, latent // st, latent // st,
+                 self.unet_cfg.channels[0]),
                 self.unet.dtype,
             )
             fresh = lambda x, t, k: base(x, t, k, condition,
@@ -393,7 +395,8 @@ class DDPMPipeline:
         self.schedule = make_schedule(ddpm_cfg)
         self.prediction = ddpm_cfg.prediction
 
-    @functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6, 7, 8, 9))
+    @functools.partial(jax.jit,
+                       static_argnums=(0, 3, 4, 5, 6, 7, 8, 9, 10))
     def sample(
         self,
         unet_params,
@@ -405,6 +408,7 @@ class DDPMPipeline:
         sampler: str = "ddim",
         film_cache: bool = True,
         steps: Optional[Tuple[int, ...]] = None,
+        cache_interval: int = 1,
     ) -> jnp.ndarray:
         shape = (batch, image_size, image_size, self.unet_cfg.input_channels)
         unet_params = cast_floating(unet_params, self.unet.dtype)
@@ -417,19 +421,44 @@ class DDPMPipeline:
                 steps=steps,
             )
         else:
-            def denoise(x, t_vec, k):
-                return self.unet.apply(
-                    unet_params, x, t_vec, deterministic=True, rngs={"moe": k}
-                ).astype(jnp.float32)
+            def denoise(x, t_vec, k, condition=None, deep=None,
+                        with_deep=False):
+                out = self.unet.apply(
+                    unet_params, x, t_vec, condition, deterministic=True,
+                    rngs={"moe": k}, deep=deep, with_deep=with_deep,
+                )
+                if with_deep:
+                    return out[0].astype(jnp.float32), out[1]
+                return out.astype(jnp.float32)
+
+        deep_cache = None
+        if cache_interval > 1:
+            if len(self.unet_cfg.stages) < 2:
+                raise ValueError(
+                    "cache_interval > 1 needs a UNet with >= 2 stages"
+                )
+            st = self.unet_cfg.stem_size
+            deep0 = jnp.zeros(
+                (batch, image_size // st, image_size // st,
+                 self.unet_cfg.channels[0]),
+                self.unet.dtype,
+            )
+            deep_cache = (
+                lambda x, t, k: denoise(x, t, k, with_deep=True),
+                lambda x, t, k, d: denoise(x, t, k, deep=d),
+                deep0, cache_interval,
+            )
 
         if sampler == "dpm++2m":
             x = dpm_solver_sample(
                 denoise, self.schedule, key, shape, num_steps=num_steps,
                 prediction=self.prediction, steps=steps,
+                deep_cache=deep_cache,
             )
         else:
             x = ddim_sample(
                 denoise, self.schedule, key, shape, num_steps=num_steps,
                 eta=eta, prediction=self.prediction, steps=steps,
+                deep_cache=deep_cache,
             )
         return to_uint8(x)
