@@ -46,6 +46,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="class-conditional training: each positional "
                         "dataset dir is one class (-1 = one class per "
                         "dir); 0 = unconditional (reference behavior)")
+    p.add_argument("--min-snr-gamma", default=0.0, type=float,
+                   help="Min-SNR loss weighting gamma (arXiv:2303.09556)"
+                        ": down-weights low-noise timesteps for faster "
+                        "convergence (typical 5.0; 0 = reference's "
+                        "uniform weighting)")
     p.add_argument("--cond-drop", default=0.1, type=float,
                    help="probability of training on the null class "
                         "(the CFG unconditional branch)")
@@ -250,6 +255,8 @@ def main(argv=None):
         ema_decay=args.ema if args.ema > 0 else None,
         num_classes=num_classes, cond_drop=args.cond_drop,
         apply_fn=apply_fn,
+        min_snr_gamma=args.min_snr_gamma if args.min_snr_gamma > 0
+        else None,
     )
     step_fn = jax.jit(raw_step, donate_argnums=(0,))
 

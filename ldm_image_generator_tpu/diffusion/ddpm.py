@@ -119,6 +119,7 @@ def ddpm_loss(
     key: jax.Array,
     loss: str = "l1",
     prediction: str = "eps",
+    min_snr_gamma: Optional[float] = None,
 ) -> jnp.ndarray:
     """Noise-prediction loss (ddpm.py:39-48).
 
@@ -126,6 +127,13 @@ def ddpm_loss(
     ('eps' target = the drawn noise, reference behavior; 'v' target =
     sqrt(ab)*eps - sqrt(1-ab)*x0). The key covers the model's own
     stochasticity (MoE routing, stochastic depth).
+
+    min_snr_gamma: Min-SNR loss weighting (arXiv:2303.09556, additive
+    to the reference): per-sample weight min(SNR_t, gamma)/SNR_t for
+    eps-prediction (min(SNR_t, gamma)/(SNR_t + 1) for v-prediction) —
+    down-weights the low-noise timesteps whose gradients otherwise
+    dominate and conflict, measurably faster convergence at gamma ~= 5.
+    None = the reference's uniform weighting.
     """
     key_t, key_eps, key_model = jax.random.split(key, 3)
     b = x.shape[0]
@@ -144,11 +152,20 @@ def ddpm_loss(
     else:
         raise ValueError(f"unknown prediction {prediction!r}")
     err = out - target
+    if min_snr_gamma is not None:
+        ab_t = schedule.alpha_bar[t].astype(jnp.float32)
+        snr = ab_t / jnp.maximum(1.0 - ab_t, 1e-12)
+        denom = snr + 1.0 if prediction == "v" else jnp.maximum(snr, 1e-12)
+        w = _bcast(jnp.minimum(snr, float(min_snr_gamma)) / denom, x.ndim)
+    else:
+        w = None
     if loss == "l1":
-        return jnp.mean(jnp.abs(err))
-    if loss == "l2":
-        return jnp.mean(err * err)
-    raise ValueError(f"unknown loss {loss!r}")
+        e = jnp.abs(err)
+    elif loss == "l2":
+        e = err * err
+    else:
+        raise ValueError(f"unknown loss {loss!r}")
+    return jnp.mean(e if w is None else w * e)
 
 
 def ddim_step_pairs(

@@ -165,6 +165,7 @@ def make_ldm_train_step(
     num_classes: int = 0,
     cond_drop: float = 0.1,
     apply_fn: "Callable | None" = None,
+    min_snr_gamma: "float | None" = None,
 ) -> Callable:
     """Returns step(state, latents, key, labels=None) -> (state, metrics).
 
@@ -189,6 +190,9 @@ def make_ldm_train_step(
     classifier-free guidance samples against (Ho & Salimans 2022,
     arXiv:2207.12598). The RNG stream for the unconditional case is
     untouched (the drop key is derived only when labels are given).
+
+    min_snr_gamma: Min-SNR loss weighting (arXiv:2303.09556, see
+    diffusion.ddpm_loss) — None keeps the reference's uniform weighting.
     """
 
     def step(state: LDMTrainState, x: jnp.ndarray, key: jax.Array,
@@ -221,7 +225,8 @@ def make_ldm_train_step(
                 ).astype(jnp.float32)
 
             return ddpm_loss(denoise, schedule, x, key, loss=loss,
-                             prediction=prediction)
+                             prediction=prediction,
+                             min_snr_gamma=min_snr_gamma)
 
         loss_val, grads = jax.value_and_grad(loss_fn)(state.params)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
