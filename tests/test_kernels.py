@@ -229,3 +229,32 @@ def test_window_mha_bwd_pallas_matches_xla_vjp(n, l, c, h, fold):
         cmp(dbqkv[2 * c:3 * c], rbv)
         cmp(dwo, rwo)
         cmp(dbo, rbo)
+
+
+def test_attn_bwd_gate_defaults_to_xla(monkeypatch):
+    """Until hardware validation flips the default, the attention
+    backward must take the XLA-recompute VJP: grads flow even if the
+    Pallas backward would explode."""
+    import ldm_image_generator_tpu.kernels.window_attention as wa
+    from unittest import mock
+
+    monkeypatch.delenv("LDM_ATTN_BWD", raising=False)
+
+    def boom(*a, **kw):
+        raise AssertionError("Pallas bwd must not be reached by default")
+
+    n, l, c, h = 4, 16, 128, 4
+    ks = jax.random.split(jax.random.PRNGKey(0), 9)
+    x = jax.random.normal(ks[0], (n, l, c))
+    w = lambda i: jax.random.normal(ks[i], (c, c)) * 0.05
+    b = lambda i: jax.random.normal(ks[i + 4], (c,)) * 0.01
+    args = (w(1), b(1), w(2), b(2), w(3), b(3), w(4), b(4))
+
+    orig = wa.window_mha_pallas
+    with mock.patch.object(wa, "window_mha_bwd_pallas", boom), \
+         mock.patch.object(
+             wa, "window_mha_pallas",
+             lambda *a, **kw: orig(*a, **{**kw, "interpret": True})):
+        g = jax.grad(lambda x_: jnp.sum(
+            wa.fused_window_mha(x_, None, *args, num_heads=h) ** 2))(x)
+    assert bool(jnp.isfinite(g).all())
