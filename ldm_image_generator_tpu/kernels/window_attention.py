@@ -413,7 +413,13 @@ def window_mha_bwd_pallas(x, mask, g, wq, bq, wk, bk, wv, bv, wo, bo,
     if tile_windows == 0:
         import os
 
-        tile_windows = int(os.environ.get("LDM_ATTN_TN", "0")) or 16
+        # The backward's Mosaic STACK temporaries scale with tn*l*c
+        # (fp32 qkv recompute + dqkv concat dominate): tn=16 at
+        # C=512/L=36 needs 20.46MB scoped vmem vs the 16MB limit
+        # (measured v5e AOT OOM, benchmarks/attn_bwd_truth_check.py);
+        # tn=8 fits and keeps (8,128) divisibility (8*36 rows).
+        tile_windows = (int(os.environ.get("LDM_ATTN_BWD_TN", "0"))
+                        or (16 if c <= 256 else 8))
     tn = min(tile_windows, n)
     if mask is None:
         bias = jnp.zeros((n, l), dtype=jnp.float32)
@@ -472,19 +478,21 @@ def window_mha_bwd_pallas(x, mask, g, wq, bq, wk, bk, wv, bv, wo, bo,
 
 
 def _attn_bwd_usable(x, c: int) -> bool:
-    """Pallas attention backward availability. Default XLA until the
-    kernel is hardware-validated (LDM_ATTN_BWD=pallas opts in; =xla
-    forces off). VMEM envelope: the dominant terms are the two fp32
-    weight-grad accumulators + their output blocks (2 x (4C^2 + C^2)
-    f32) plus the bf16 weights — ~52MB at C=1024, comfortably inside a
-    v5e core's 128MB."""
+    """Pallas attention backward availability. Hardware-validated
+    envelope (benchmarks/attn_bwd_truth_check.py, v5e 2026-08-19): at
+    C=128/256/512 every gradient is as close or closer to the fp64
+    torch truth than the XLA recompute VJP (worst ratio 1.11), so those
+    windowed stages default to the Pallas backward. The C=1024 16-token
+    full-map stage (fold 8) crashes the remote Mosaic compiler and
+    stays on the XLA VJP. LDM_ATTN_BWD=xla forces off;
+    LDM_ATTN_BWD=pallas lifts the C cap (truth-check use only)."""
     import os
 
     mode = os.environ.get("LDM_ATTN_BWD", "")
     if mode == "xla":
         return False
-    if mode != "pallas":
-        return False  # flip default after hardware validation
+    if mode != "pallas" and c > 512:
+        return False  # C=1024 fold-8 backward crashes Mosaic (see above)
     return (
         jax.default_backend() in ("tpu", "axon")
         and c % 128 == 0

@@ -231,17 +231,31 @@ def test_window_mha_bwd_pallas_matches_xla_vjp(n, l, c, h, fold):
         cmp(dbo, rbo)
 
 
-def test_attn_bwd_gate_defaults_to_xla(monkeypatch):
-    """Until hardware validation flips the default, the attention
-    backward must take the XLA-recompute VJP: grads flow even if the
-    Pallas backward would explode."""
+def test_attn_bwd_gate(monkeypatch):
+    """Gate envelope after hardware validation (2026-08-19 truth
+    check): Pallas backward is default-on for C<=512 on TPU, off for
+    the C=1024 fold-8 stage (remote Mosaic crash), off everywhere on
+    non-TPU backends, and LDM_ATTN_BWD=xla forces it off."""
     import ldm_image_generator_tpu.kernels.window_attention as wa
     from unittest import mock
 
     monkeypatch.delenv("LDM_ATTN_BWD", raising=False)
+    xb = jnp.zeros((4, 16, 512), jnp.bfloat16)
+    with mock.patch.object(jax, "default_backend", lambda: "tpu"):
+        assert wa._attn_bwd_usable(xb, 512)
+        assert not wa._attn_bwd_usable(
+            jnp.zeros((4, 16, 1024), jnp.bfloat16), 1024)
+        assert not wa._attn_bwd_usable(xb.astype(jnp.float32), 512)
+        monkeypatch.setenv("LDM_ATTN_BWD", "xla")
+        assert not wa._attn_bwd_usable(xb, 512)
+        monkeypatch.setenv("LDM_ATTN_BWD", "pallas")
+        assert wa._attn_bwd_usable(
+            jnp.zeros((4, 16, 1024), jnp.bfloat16), 1024)
+        monkeypatch.delenv("LDM_ATTN_BWD", raising=False)
+    assert not wa._attn_bwd_usable(xb, 512)  # cpu backend: XLA VJP
 
     def boom(*a, **kw):
-        raise AssertionError("Pallas bwd must not be reached by default")
+        raise AssertionError("Pallas bwd must not be reached on CPU")
 
     n, l, c, h = 4, 16, 128, 4
     ks = jax.random.split(jax.random.PRNGKey(0), 9)
