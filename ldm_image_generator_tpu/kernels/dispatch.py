@@ -50,13 +50,20 @@ def clear_probe_cache() -> None:
 
 
 def pallas_usable(kernel: str, sig: Tuple,
-                  compile_thunk: Callable[[], object]) -> bool:
+                  compile_thunk: Callable[[], object],
+                  force_probe: bool = False) -> bool:
     """Gate a dispatcher's Pallas branch. `sig` must capture everything
     that changes the generated kernel (shapes, dtypes, static flags);
-    `compile_thunk` AOT-compiles the kernel for that signature."""
+    `compile_thunk` AOT-compiles the kernel for that signature.
+
+    force_probe: probe this signature even when LDM_TPU_PALLAS_PROBE is
+    off — used by dispatchers whose default-on envelope was validated
+    only for specific shape tuples (e.g. the attention backward's
+    hardware-validated (L, C, fold) set) so an unvalidated signature
+    can't reach a compiler known to crash on some shapes unprobed."""
     if kill_switched(kernel):
         return False
-    if not probe_enabled():
+    if not (probe_enabled() or force_probe):
         return True
     key = (kernel, sig)
     if key not in _probe_verdicts:

@@ -514,12 +514,24 @@ def _fwd(x, mask, wq, bq, wk, bk, wv, bv, wo, bo, num_heads, fold):
     return out, (x, mask, wq, bq, wk, bk, wv, bv, wo, bo)
 
 
+# hardware-validated attention-backward (L, C, fold) tuples
+# (benchmarks/attn_bwd_truth_check.py + benchmarks/attn_bwd_ab.py, v5e
+# 2026-08-19: accuracy <= 1.11x the XLA VJP's fp64 distance on every
+# gradient AND 13% faster in-model at b64). Signatures outside this set
+# at C<=512 are NOT rejected but must pass a one-time compile probe
+# first (pallas_usable force_probe): the remote Mosaic compiler crashes
+# on some constructions (C=1024 fold-8), so an unvalidated shape never
+# reaches the training hot path unprobed.
+_BWD_VALIDATED = {(36, 128, 2), (36, 256, 2), (36, 512, 2)}
+
+
 def _bwd(num_heads, fold, res, g):
     x, mask, wq, bq, wk, bk, wv, bv, wo, bo = res
     c = x.shape[-1]
     if _attn_bwd_usable(x, c):
         from ldm_image_generator_tpu.kernels.dispatch import pallas_usable
 
+        validated = (x.shape[1], c, fold) in _BWD_VALIDATED
         sig = ("attn_bwd", x.shape, jnp.dtype(x.dtype).name,
                mask is not None, num_heads, fold)
         thunk = lambda: window_mha_bwd_pallas.lower(
@@ -531,7 +543,8 @@ def _bwd(num_heads, fold, res, g):
               (wq, bq, wk, bk, wv, bv, wo, bo)],
             num_heads=num_heads, fold=fold,
         ).compile()
-        if pallas_usable("window_attention_bwd", sig, thunk):
+        if pallas_usable("window_attention_bwd", sig, thunk,
+                         force_probe=not validated):
             dx, dwqkv, dbqkv, dwo, dbo = window_mha_bwd_pallas(
                 x, mask, g, wq, bq, wk, bk, wv, bv, wo, bo,
                 num_heads=num_heads, fold=fold,
