@@ -36,6 +36,8 @@ BASELINE_512_IMAGES_PER_S = 0.0322
 
 TRIALS = 3
 ITERS_PER_TRIAL = 5
+SPREAD_TOL = 0.10      # max (max-min)/median across a metric's trials
+MAX_EXTRA_TRIALS = 3   # re-trial rounds before declaring spread_ok false
 
 
 def make_runner(pipe, unet_params, dec_params, batch, image_size):
@@ -85,6 +87,20 @@ def main():
     for trial in range(TRIALS):
         for s in sizes:  # interleaved: host steal hits both metrics
             trials[s].append(one_trial(runners[s], batch, s, trial))
+
+    # Spread-validity policy (round 5): a >10% trial spread means a
+    # host-steal episode contaminated the window (the r03 10.41
+    # artifact) — re-trial up to MAX_EXTRA times instead of publishing
+    # the noise; if it never settles, the record says spread_ok: false
+    # rather than leaving forensics to the next round.
+    spread_frac = lambda v: (max(v) - min(v)) / statistics.median(v)
+    extra = 0
+    while (any(spread_frac(trials[s]) > SPREAD_TOL for s in sizes)
+           and extra < MAX_EXTRA_TRIALS):
+        extra += 1
+        for s in sizes:
+            trials[s].append(one_trial(runners[s], batch, s,
+                                       TRIALS - 1 + extra))
 
     # DeepCache variant (NOT the headline): deep-core reuse at interval
     # 2 (pipelines.sample cache_interval; quality delta measured by
@@ -141,6 +157,9 @@ def main():
         "trials": [round(v, 4) for v in pl_trials],
     }), flush=True)
 
+    import os as _os
+
+    load1 = _os.getloadavg()[0] if hasattr(_os, "getloadavg") else None
     base = {512: BASELINE_512_IMAGES_PER_S, 256: BASELINE_IMAGES_PER_S}
     for s in sizes:  # 256px last: the driver parses the final line
         ips = statistics.median(trials[s])
@@ -151,6 +170,9 @@ def main():
             "vs_baseline": round(ips / base[s], 2),
             "trials": [round(v, 4) for v in trials[s]],
             "spread": [round(min(trials[s]), 4), round(max(trials[s]), 4)],
+            "spread_ok": bool(spread_frac(trials[s]) <= SPREAD_TOL),
+            "retrial_rounds": extra,
+            "host_load1": round(load1, 2) if load1 is not None else None,
         }), flush=True)
 
 

@@ -17,19 +17,33 @@ real photos:
      samples and the real set, using the trained VAE encoder as the
      feature extractor.
 
-Round 4 extends the horizon (default 4000 LDM steps), tracks an EMA of
-the UNet weights (decay 0.999 — standard diffusion practice; the raw
-weights stay the gated metric for round-over-round comparability), and
+Round 4 extended the horizon (default 4000 LDM steps), tracks an EMA of
+the UNet weights (decay 0.999 — standard diffusion practice), and
 closes the DPM-Solver++ claim: at the final checkpoint the same KID is
 computed on real samples from `--sampler dpm++2m` at 10 steps — turning
 the ODE-error proxy (tests/test_dpm_solver.py) into a measurement.
 
-Writes quality/metrics.jsonl, quality/samples_step*.jpg grids, and
-QUALITY_r04.json {"ok": kid_end < kid_start, kid_final, monotone_after
-_warmup, dpm2m_10step_kid, ...} at the repo root.
+Round-5 changes (VERDICT r04 items 2/3/6):
+  * the artifact QUALITY_r05.json is written INCREMENTALLY after every
+    eval/phase ("partial": true until complete) — the r04 run finished
+    training but died before the final DPM++/DeepCache passes and left
+    the round with NO artifact;
+  * training recipe: grad-clip 1.0 + cosine LR (warmup 100) — the r04
+    run's raw-weight KID diverged 1.58 -> 8.13 over 4000 steps under
+    the reference's bare constant-AdamW recipe while the loss kept
+    falling (quality/metrics.jsonl r04 is the control arm for this
+    change at identical data/seeds); ok now also requires the raw
+    trend to be non-diverging (final <= 2x the post-warmup minimum);
+  * every eval also scores samples through the VAE-independent
+    random-conv feature path (utils/quality.py random_conv_features,
+    logged as kid_rand/kid_rand_ema) — the patched metric judges
+    latents with the same VAE that defines them; the second basis
+    cross-checks it. Pass --recipe reference to reproduce the r04
+    control arm (no clip, constant LR).
 
 Run (TPU, ~60-90 min mostly compiles):
     python benchmarks/quality_gate.py [--vae-steps N] [--ldm-steps N]
+        [--recipe stable|reference]
 """
 from __future__ import annotations
 
@@ -90,12 +104,22 @@ def main():
     argval = lambda name, d: (
         int(sys.argv[sys.argv.index(name) + 1]) if name in sys.argv else d
     )
-    vae_steps = argval("--vae-steps", 600)
-    ldm_steps = argval("--ldm-steps", 4000)
+    # --smoke: CPU-runnable end-to-end rehearsal at tiny scale (same
+    # rationale as quality_gate_cond.py --smoke)
+    smoke = "--smoke" in sys.argv
+    vae_steps = argval("--vae-steps", 8 if smoke else 600)
+    ldm_steps = argval("--ldm-steps", 12 if smoke else 4000)
+    size = 64 if smoke else 256
+    n_crops = 48 if smoke else 768
+    recipe = "reference" if "--recipe" in sys.argv and \
+        sys.argv[sys.argv.index("--recipe") + 1] == "reference" else "stable"
 
     import numpy as np
 
     import jax
+
+    if smoke:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from ldm_image_generator_tpu.config import (
@@ -112,18 +136,18 @@ def main():
         make_optimizer, make_vae_train_step,
     )
     from ldm_image_generator_tpu.utils.quality import (
-        kid_mean_std, patch_features,
+        kid_mean_std, patch_features, random_conv_features,
     )
     from ldm_image_generator_tpu.cli.common import float_to_image, save_image
 
-    qdir = os.path.join(REPO, "quality")
+    qdir = "/tmp/qual_smoke" if smoke else os.path.join(REPO, "quality")
     os.makedirs(qdir, exist_ok=True)
     data_dir = os.path.join(qdir, "dataset")
     # 768 crops: 96 for 4000 steps (b8) would be 333 epochs — the
     # conditional gate's first run proved that regime memorizes (loss
     # falls while KID collapses). 768 keeps it at ~42 epochs.
-    n_imgs = build_dataset(data_dir, n=768, size=256)
-    print(f"dataset: {n_imgs} real-photo crops at 256px", flush=True)
+    n_imgs = build_dataset(data_dir, n=n_crops, size=size)
+    print(f"dataset: {n_imgs} real-photo crops at {size}px", flush=True)
 
     metrics_path = os.path.join(qdir, "metrics.jsonl")
     mlog = open(metrics_path, "w")
@@ -134,8 +158,40 @@ def main():
         mlog.flush()
         print(json.dumps(rec), flush=True)
 
+    artifact_path = ("/tmp/QUALITY_smoke.json" if smoke
+                     else os.path.join(REPO, "QUALITY_r05.json"))
+    result = {
+        "ok": False,
+        "partial": True,
+        "recipe": ("adamw 1e-4 + grad-clip 1.0 + cosine LR (warmup 100)"
+                   if recipe == "stable"
+                   else "reference: bare constant AdamW 1e-4 (r04 arm)"),
+        "vae_steps": vae_steps,
+        "ldm_steps": ldm_steps,
+        "ema_decay": 0.999,
+        "dataset": f"{n_crops} real-photo {size}px crops",
+        "config": ("tiny smoke" if smoke
+                   else "default (385.7M UNet, 12.7M/13.2M VAE)"),
+        "kid_trend": [],
+    }
+
+    def write_artifact():
+        # incremental: the r04 run trained to completion but died before
+        # its final DPM++/DeepCache passes and never wrote the artifact
+        with open(artifact_path, "w") as f:
+            json.dump(result, f, indent=1)
+
+    write_artifact()
+
     key = jax.random.PRNGKey(0)
-    vcfg, dcfg, ucfg = VAEConfig(), DiscriminatorConfig(), UNetConfig()
+    if smoke:
+        vcfg = VAEConfig().tiny()
+        dcfg = DiscriminatorConfig(channels=(8, 8), stages=(1, 1))
+        ucfg = UNetConfig().tiny()
+        crop = 48
+    else:
+        vcfg, dcfg, ucfg = VAEConfig(), DiscriminatorConfig(), UNetConfig()
+        crop = 192
     ddpm_cfg = DDPMConfig()
 
     # ---- 1. VAE+GAN training at the default scale -----------------------
@@ -143,7 +199,6 @@ def main():
     dec = Decoder(vcfg, dtype=jnp.bfloat16)
     q = VectorQuantizer(vcfg.num_embeddings, vcfg.embedding_dim)
     disc = Discriminator(dcfg, dtype=jnp.bfloat16)
-    crop = 192
     img0 = jnp.zeros((1, crop, crop, 3))
     z0 = jnp.zeros((1, crop // vcfg.downscale, crop // vcfg.downscale,
                     vcfg.latent_channels))
@@ -153,7 +208,7 @@ def main():
         "quantizer": q.init(
             key, z0.reshape(1, -1, vcfg.embedding_dim))["params"],
     }
-    ds = ImageDataset([data_dir], size=256,
+    ds = ImageDataset([data_dir], size=size,
                       cache_dir=os.path.join(qdir, "cache"))
     from ldm_image_generator_tpu.utils.checkpoint import (
         load_params, save_params,
@@ -219,6 +274,16 @@ def main():
             for i in range(0, (len(real) // 8) * 8, 8)
         ])
     )
+    # VAE-independent feature basis (round-5 metric hardening): fixed
+    # random-init conv features over PIXELS, no shared weights with the
+    # VAE that defines the latent space being judged
+    rand_feats = jax.jit(random_conv_features)
+    real_rfeats = jnp.asarray(
+        np.concatenate([
+            np.asarray(rand_feats(jnp.asarray(real[i:i + 8], jnp.float32)))
+            for i in range(0, (len(real) // 8) * 8, 8)
+        ])
+    )
     log({"phase": "encoded", "latents": list(latents.shape)})
 
     # ---- 3. LDM training on frozen latents ------------------------------
@@ -229,7 +294,13 @@ def main():
     up = unet.init({"params": key, "moe": key, "sd": key},
                    jnp.asarray(latents[:1]), t1)
     schedule = make_schedule(ddpm_cfg)
-    tx = make_optimizer("adamw", 1e-4)
+    if recipe == "stable":
+        tx = make_optimizer("adamw", 1e-4, grad_clip=1.0,
+                            lr_schedule="cosine",
+                            warmup_steps=min(100, ldm_steps // 10),
+                            total_steps=ldm_steps)
+    else:
+        tx = make_optimizer("adamw", 1e-4)
     lstate = LDMTrainState(params=up, opt_state=tx.init(up),
                            step=jnp.zeros((), jnp.int32),
                            ema_params=init_ema(up))
@@ -242,12 +313,14 @@ def main():
 
     def eval_kid(params, tag, sampler="ddim", num_steps=20,
                  cache_interval=1):
+        """Returns (kid_mean, kid_std, kid_randconv_mean) — patched-VAE
+        KID plus the independent random-conv-feature KID."""
         imgs = pipe.sample(params, dec_params, jax.random.PRNGKey(42),
-                           batch=16, image_size=256, num_steps=num_steps,
+                           batch=16, image_size=size, num_steps=num_steps,
                            sampler=sampler, cache_interval=cache_interval)
         imgs = np.asarray(jax.device_get(imgs))
-        grid = imgs.reshape(4, 4, 256, 256, 3).transpose(
-            0, 2, 1, 3, 4).reshape(4 * 256, 4 * 256, 3)
+        grid = imgs.reshape(4, 4, size, size, 3).transpose(
+            0, 2, 1, 3, 4).reshape(4 * size, 4 * size, 3)
         save_image(grid, os.path.join(qdir, f"samples_{tag}.jpg"))
         fake = jnp.asarray(imgs.astype(np.float32) / 127.5 - 1.0)
         fake_feats = jnp.concatenate([
@@ -256,7 +329,12 @@ def main():
         ])
         mean, std = kid_mean_std(real_feats, fake_feats,
                                  jax.random.PRNGKey(7))
-        return float(mean), float(std)
+        fake_rfeats = jnp.concatenate([
+            rand_feats(fake[i:i + 8]) for i in range(0, 16, 8)
+        ])
+        rmean, _ = kid_mean_std(real_rfeats, fake_rfeats,
+                                jax.random.PRNGKey(7))
+        return float(mean), float(std), float(rmean)
 
     kids = []
     n_evals = 6
@@ -267,13 +345,17 @@ def main():
     rng = np.random.default_rng(3)
     while True:
         if step_count in evals:
-            m, s = eval_kid(lstate.params, f"step{step_count:05d}")
-            me, _ = eval_kid(lstate.ema_params,
-                             f"step{step_count:05d}_ema")
+            m, s, rm = eval_kid(lstate.params, f"step{step_count:05d}")
+            me, _, rme = eval_kid(lstate.ema_params,
+                                  f"step{step_count:05d}_ema")
             kids.append({"step": step_count, "kid": round(m, 5),
                          "kid_std": round(s, 5),
-                         "kid_ema": round(me, 5)})
+                         "kid_ema": round(me, 5),
+                         "kid_rand": round(rm, 5),
+                         "kid_rand_ema": round(rme, 5)})
             log({"phase": "kid", **kids[-1]})
+            result["kid_trend"] = kids
+            write_artifact()
         if step_count >= ldm_steps:
             break
         idx = rng.choice(len(latents), 8, replace=False)
@@ -291,10 +373,12 @@ def main():
     # "DDIM-20 quality in ~10 steps" measured on real samples through
     # the production KID gate (round-3 verdict item 5 — previously an
     # ODE-error proxy only)
-    dpm_kid, dpm_std = eval_kid(lstate.params, "final_dpm2m",
-                                sampler="dpm++2m", num_steps=10)
+    dpm_kid, dpm_std, _ = eval_kid(lstate.ema_params, "final_dpm2m",
+                                   sampler="dpm++2m", num_steps=10)
     log({"phase": "dpm2m", "kid": round(dpm_kid, 5),
          "kid_std": round(dpm_std, 5)})
+    result["dpm2m_10step_kid"] = round(dpm_kid, 5)
+    write_artifact()
 
     # DeepCache pass (arXiv 2312.03209-style deep-core reuse,
     # pipelines.sample cache_interval): measure the quality cost of the
@@ -302,12 +386,14 @@ def main():
     # speedup ships with a KID delta, not a hope
     dc_kids = {}
     for ci in (2, 3):
-        m_dc, s_dc = eval_kid(lstate.params, f"final_dc{ci}",
-                              cache_interval=ci)
+        m_dc, s_dc, _ = eval_kid(lstate.ema_params, f"final_dc{ci}",
+                                 cache_interval=ci)
         log({"phase": "deepcache", "interval": ci, "kid": round(m_dc, 5),
              "kid_std": round(s_dc, 5)})
         dc_kids[str(ci)] = {"kid": round(m_dc, 5),
                             "kid_std": round(s_dc, 5)}
+        result["deepcache_kid"] = dc_kids
+        write_artifact()
 
     # monotone after warmup: past the first third of training, each
     # eval's KID is no worse than the previous eval + noise (2 sigma)
@@ -315,31 +401,38 @@ def main():
     monotone = all(b["kid"] <= a["kid"] + 2 * a["kid_std"]
                    for a, b in zip(post, post[1:]))
     final_ddim = kids[-1]["kid"]
-    result = {
-        "ok": bool(final_ddim < kids[0]["kid"]),
+    final_ema = kids[-1]["kid_ema"]
+    # raw non-divergence (round-5 commitment, VERDICT r04 item 3): the
+    # raw-weight trend must END within 2x its post-warmup minimum — the
+    # r04 control arm ended at 5.1x (1.58 -> 8.13)
+    min_raw = min(k["kid"] for k in post) if post else final_ddim
+    raw_nondiverging = bool(final_ddim <= 2.0 * min_raw)
+    # the EMA weights are what a production sampler ships; DPM++ and
+    # DeepCache passes run on them, so match-claims compare against the
+    # EMA DDIM-20 figure
+    result.update({
+        "ok": bool(final_ddim < kids[0]["kid"] and raw_nondiverging),
+        "partial": False,
         "kid_trend": kids,
         "kid_final": final_ddim,
-        "kid_final_ema": kids[-1]["kid_ema"],
-        "kid_below_1": bool(min(final_ddim, kids[-1]["kid_ema"]) < 1.0),
+        "kid_final_ema": final_ema,
+        "kid_final_rand": kids[-1]["kid_rand"],
+        "kid_final_rand_ema": kids[-1]["kid_rand_ema"],
+        "raw_nondiverging": raw_nondiverging,
+        "kid_below_1": bool(min(final_ddim, final_ema) < 1.0),
         "monotone_after_warmup": bool(monotone),
         # dpm++2m-10 matches ddim-20 if within 2 sigma of the KID noise
         "dpm2m_10step_kid": round(dpm_kid, 5),
         "deepcache_kid": dc_kids,
         "deepcache2_matches_ddim": bool(
-            dc_kids["2"]["kid"] <= final_ddim
+            dc_kids["2"]["kid"] <= final_ema
             + 2 * max(kids[-1]["kid_std"], dc_kids["2"]["kid_std"])
         ),
         "dpm2m_matches_ddim20": bool(
-            dpm_kid <= final_ddim + 2 * max(kids[-1]["kid_std"], dpm_std)
+            dpm_kid <= final_ema + 2 * max(kids[-1]["kid_std"], dpm_std)
         ),
-        "vae_steps": vae_steps,
-        "ldm_steps": ldm_steps,
-        "ema_decay": 0.999,
-        "dataset": f"{n_imgs} real-photo 256px crops",
-        "config": "default (385.7M UNet, 12.7M/13.2M VAE)",
-    }
-    with open(os.path.join(REPO, "QUALITY_r04.json"), "w") as f:
-        json.dump(result, f, indent=1)
+    })
+    write_artifact()
     print(json.dumps(result), flush=True)
     mlog.close()
 

@@ -168,6 +168,30 @@ def add_diffusion_args(parser, train: bool = False) -> None:
             "--val-batches", default=4, type=int, metavar="N",
             help="number of fixed validation batches to average over",
         )
+        # training-stability controls (round-5): the reference recipe
+        # (constant AdamW, no clipping, /root/reference/train_ldm.py:67)
+        # diverges at production horizons — raw-weight KID rose
+        # 1.58 -> 8.13 over 4000 steps (quality/metrics.jsonl r04)
+        parser.add_argument(
+            "--grad-clip", default=0.0, type=float, metavar="NORM",
+            help="global-norm gradient clipping (0 = off, the reference "
+            "recipe; 1.0 is the standard diffusion value)",
+        )
+        parser.add_argument(
+            "--lr-schedule", default="constant",
+            choices=["constant", "cosine"],
+            help="LR schedule; cosine decays to 10%% of -lr over "
+            "--total-steps",
+        )
+        parser.add_argument(
+            "--warmup-steps", default=0, type=int, metavar="STEPS",
+            help="linear LR warmup steps (0 = none)",
+        )
+        parser.add_argument(
+            "--total-steps", default=0, type=int, metavar="STEPS",
+            help="total train steps for the cosine decay horizon "
+            "(required with --lr-schedule cosine)",
+        )
 
 
 def ema_path(modelpath: str) -> str:

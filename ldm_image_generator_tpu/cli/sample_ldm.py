@@ -55,6 +55,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="generate this class (class-conditional models)")
     p.add_argument("--guidance-scale", default=1.0, type=float,
                    help="classifier-free guidance strength (1 = off)")
+    p.add_argument("--cfg-rescale", default=0.0, type=float,
+                   help="guidance rescale phi (arXiv:2305.08891 §3.4): "
+                        "counters CFG over-saturation at scale >= 3; "
+                        "typical 0.5-0.7, 0 = off")
     p.add_argument("--init-image", default=None,
                    help="img2img: start from this image instead of pure "
                         "noise (encoded by the VAE encoder, diffused to "
@@ -144,6 +148,7 @@ def main(argv=None):
             strength=args.strength, num_steps=args.timesteps, eta=args.eta,
             sampler=args.sampler, mask=mask,
             condition=condition, guidance_scale=args.guidance_scale,
+            cfg_rescale=args.cfg_rescale,
         )
     else:
         imgs = pipe.sample(
@@ -152,6 +157,7 @@ def main(argv=None):
             num_steps=args.timesteps, eta=args.eta, sampler=args.sampler,
             condition=condition, guidance_scale=args.guidance_scale,
             cache_interval=args.cache_interval,
+            cfg_rescale=args.cfg_rescale,
         )
     imgs = jax.device_get(imgs)
     os.makedirs(args.outdir, exist_ok=True)

@@ -109,6 +109,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="default classifier-free guidance strength for "
                         "requests that don't pass guidance_scale "
                         "(1 = off; != 1 requires --num-classes)")
+    p.add_argument("--cfg-rescale", default=0.0, type=float,
+                   help="guidance rescale phi (arXiv:2305.08891 §3.4) "
+                        "applied server-wide to guided requests (static: "
+                        "part of the compiled program, not per-request)")
     p.add_argument("--img2img-strength", default=0.0, type=float,
                    help="also serve POST /img2img (SDEdit partial "
                         "diffusion from a client image) at this strength "
@@ -211,6 +215,7 @@ def make_sampler(args):
                 batch=batch, image_size=size, num_steps=args.timesteps,
                 sampler=args.sampler, init_noise=noise,
                 condition=class_ids, guidance_scales=guidance_scales,
+                cfg_rescale=args.cfg_rescale,
             )
 
         return pipeline_cfg
@@ -233,6 +238,7 @@ def make_sampler(args):
                 num_steps=args.timesteps, sampler=args.sampler,
                 condition=class_ids, fwd_noise=noise,
                 guidance_scales=guidance_scales,
+                cfg_rescale=args.cfg_rescale,
             )
 
         if cfg:

@@ -89,7 +89,11 @@ def main(argv=None):
 
     schedule = make_schedule(DDPMConfig(prediction=args.prediction,
                                         zero_terminal_snr=args.zero_snr))
-    tx = make_optimizer("radam", args.learningrate)
+    tx = make_optimizer("radam", args.learningrate,
+                        grad_clip=args.grad_clip,
+                        lr_schedule=args.lr_schedule,
+                        warmup_steps=args.warmup_steps,
+                        total_steps=args.total_steps)
     state = LDMTrainState(
         params=params, opt_state=tx.init(params),
         step=jnp.zeros((), jnp.int32),

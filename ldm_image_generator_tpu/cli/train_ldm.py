@@ -164,7 +164,17 @@ def main(argv=None):
     schedule = make_schedule(DDPMConfig(prediction=args.prediction,
                                         zero_terminal_snr=args.zero_snr))
     tx = make_optimizer("adamw", args.learningrate,
-                        accumulate=args.batch_multiply)
+                        accumulate=args.batch_multiply,
+                        grad_clip=args.grad_clip,
+                        lr_schedule=args.lr_schedule,
+                        warmup_steps=args.warmup_steps,
+                        total_steps=args.total_steps)
+    if args.grad_clip > 0 or args.lr_schedule != "constant" \
+            or args.warmup_steps > 0:
+        print(f"stability: grad-clip {args.grad_clip or 'off'}, "
+              f"lr-schedule {args.lr_schedule}"
+              + (f" (warmup {args.warmup_steps})" if args.warmup_steps
+                 else ""))
     state = LDMTrainState(
         params=params, opt_state=tx.init(params),
         step=jnp.zeros((), jnp.int32),

@@ -121,10 +121,19 @@ class LDMPipeline:
         self.vae_cfg = vae_cfg
 
     def _denoise_fn(self, unet_params, latent: int, num_steps: int,
-                    steps, film_cache: bool, condition, guidance_scale):
+                    steps, film_cache: bool, condition, guidance_scale,
+                    cfg_rescale: float = 0.0):
         """Build the per-step denoise closure: FiLM-cached or plain UNet
         apply, optionally wrapped in classifier-free guidance (shared by
-        `sample` and `img2img`)."""
+        `sample` and `img2img`).
+
+        cfg_rescale: guidance rescale phi (arXiv:2305.08891 §3.4) — the
+        guided prediction's per-sample std is rescaled back to the
+        conditional prediction's std, then blended
+        `phi * rescaled + (1-phi) * guided`. Counters the
+        over-saturation/blow-up failure of large guidance scales (the
+        observed saturated-white collapse of guided samples,
+        QUALITY_COND_r04); 0 = off (plain CFG)."""
         if film_cache:
             base = make_cached_denoise(
                 self.unet, unet_params, self.schedule.num_timesteps,
@@ -168,7 +177,15 @@ class LDMPipeline:
                 # the conditioning signal in the guidance delta
                 pred_c = base(x, t_vec, k, condition)
                 pred_u = base(x, t_vec, k, null)
-                return pred_u + gs * (pred_c - pred_u)
+                guided = pred_u + gs * (pred_c - pred_u)
+                if cfg_rescale > 0.0:
+                    ax = tuple(range(1, guided.ndim))
+                    std_c = jnp.std(pred_c, axis=ax, keepdims=True)
+                    std_g = jnp.std(guided, axis=ax, keepdims=True)
+                    rescaled = guided * (std_c / (std_g + 1e-6))
+                    guided = (cfg_rescale * rescaled
+                              + (1.0 - cfg_rescale) * guided)
+                return guided
 
             return denoise, base, use_cfg
 
@@ -178,7 +195,7 @@ class LDMPipeline:
         return denoise, base, use_cfg
 
     @functools.partial(jax.jit,
-                       static_argnums=(0, 4, 5, 6, 7, 8, 9, 11, 13, 15))
+                       static_argnums=(0, 4, 5, 6, 7, 8, 9, 11, 13, 15, 16))
     def sample(
         self,
         unet_params,
@@ -196,6 +213,7 @@ class LDMPipeline:
         guidance_scale: float = 1.0,
         guidance_scales: Optional[jnp.ndarray] = None,
         cache_interval: int = 1,
+        cfg_rescale: float = 0.0,
     ) -> jnp.ndarray:
         """Returns uint8 images [batch, image_size, image_size, 3].
 
@@ -224,7 +242,10 @@ class LDMPipeline:
         every N steps run only the outermost stage (~1/n of the
         FLOPs). 1 = off (exact reference numerics). An approximation:
         gate quality with benchmarks/quality_gate.py's deepcache pass
-        before shipping a given interval. Not with CFG."""
+        before shipping a given interval. Not with CFG.
+        cfg_rescale: guidance rescale phi in [0, 1]
+        (arXiv:2305.08891 §3.4, see _denoise_fn); only meaningful with
+        CFG active. Typical 0.5-0.7 at guidance >= 3."""
         latent = image_size // self.vae_cfg.downscale
         shape = (batch, latent, latent, self.unet_cfg.input_channels)
         unet_params = cast_floating(unet_params, self.unet.dtype)
@@ -235,6 +256,7 @@ class LDMPipeline:
             condition,
             guidance_scales if guidance_scales is not None
             else guidance_scale,
+            cfg_rescale=cfg_rescale,
         )
 
         deep_cache = None
@@ -275,7 +297,7 @@ class LDMPipeline:
         return to_uint8(img)
 
     @functools.partial(jax.jit,
-                       static_argnums=(0, 6, 7, 8, 9, 10, 13))
+                       static_argnums=(0, 6, 7, 8, 9, 10, 13, 16))
     def img2img(
         self,
         unet_params,
@@ -293,6 +315,7 @@ class LDMPipeline:
         guidance_scale: float = 1.0,
         fwd_noise: Optional[jnp.ndarray] = None,
         guidance_scales: Optional[jnp.ndarray] = None,
+        cfg_rescale: float = 0.0,
     ) -> jnp.ndarray:
         """Image-to-image / inpainting (SDEdit, arXiv:2108.01073): encode
         the input, diffuse it to t_start = strength * (T-1), then run the
@@ -349,6 +372,7 @@ class LDMPipeline:
             condition,
             guidance_scales if guidance_scales is not None
             else guidance_scale,
+            cfg_rescale=cfg_rescale,
         )
 
         project_fn = None

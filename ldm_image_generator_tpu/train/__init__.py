@@ -3,6 +3,7 @@ from ldm_image_generator_tpu.train.steps import (  # noqa: F401
     VAETrainState,
     init_ema,
     make_ldm_train_step,
+    make_lr_schedule,
     make_optimizer,
     make_vae_train_step,
 )

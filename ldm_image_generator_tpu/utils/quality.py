@@ -47,6 +47,40 @@ def patch_features(latents: jnp.ndarray, patch: int = 4) -> jnp.ndarray:
     return x.reshape(b * (hh // p) * (ww // p), p * p * c)
 
 
+def random_conv_features(images: jnp.ndarray, seed: int = 0xC0FFEE,
+                         patch: int = 4) -> jnp.ndarray:
+    """VAE-independent feature path for KID (round-5 metric hardening).
+
+    The patched-KID gates judge samples through the same frozen VAE
+    encoder that defines the latent space being sampled — self-referential
+    (a decoder that games the encoder's blind spots scores well). This
+    extractor is a fixed random-init 3-layer stride-2 conv net over
+    PIXELS with He-init weights from a hard-coded seed: no external
+    weights, deterministic across runs, and statistically independent of
+    the VAE. Random convolutional features are a known-adequate basis
+    for two-sample tests on natural images (random-weight CNN features
+    retain image statistics; cf. FID-infinity / random-feature MMD
+    literature).
+
+    images: NHWC float in [-1, 1]. Returns [B*n, patch*patch*C] per-patch
+    features like patch_features (shared KID plumbing downstream).
+    """
+    key = jax.random.PRNGKey(seed)
+    x = images.astype(jnp.float32)
+    cin = x.shape[-1]
+    for i, cout in enumerate((16, 32, 64)):
+        kw = jax.random.normal(jax.random.fold_in(key, i),
+                               (3, 3, cin, cout), jnp.float32)
+        kw = kw * jnp.sqrt(2.0 / (3 * 3 * cin))
+        x = jax.lax.conv_general_dilated(
+            x, kw, window_strides=(2, 2), padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        x = jax.nn.leaky_relu(x, 0.2)
+        cin = cout
+    return patch_features(x, patch)
+
+
 def _poly_kernel(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     d = a.shape[-1]
     return (a @ b.T / d + 1.0) ** 3

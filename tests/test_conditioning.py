@@ -216,3 +216,78 @@ def test_loader_yields_labels_per_source_dir(tmp_path):
     assert labels.dtype == np.int32 and labels.shape == (4,)
     all_labels = np.concatenate([b[1] for b in batches])
     np.testing.assert_array_equal(all_labels, ds.labels[:8])
+
+
+def test_cfg_rescale_changes_guided_samples_only():
+    """cfg_rescale (arXiv:2305.08891 §3.4): phi > 0 must change guided
+    output at scale > 1, be (near-)identity at scale 1 (guided ==
+    conditional there, so the std ratio is ~1), and stay deterministic."""
+    from ldm_image_generator_tpu.pipelines import LDMPipeline
+
+    ucfg = cond_cfg()
+    vcfg = VAEConfig().tiny()
+    pipe = LDMPipeline(ucfg, vcfg, DDPMConfig(), dtype=jnp.float32)
+    key = jax.random.PRNGKey(0)
+    z = jnp.zeros((1, 8, 8, ucfg.input_channels), jnp.float32)
+    t = jnp.zeros((1,), jnp.int32)
+    up = pipe.unet.init({"params": key, "moe": key}, z, t)
+    dp = pipe.decoder.init(jax.random.PRNGKey(1), z)
+
+    cond = jnp.asarray([1, 2], jnp.int32)
+    kw = dict(batch=2, image_size=16, num_steps=4, condition=cond)
+    seed = jax.random.PRNGKey(2)
+
+    plain = pipe.sample(up, dp, seed, guidance_scale=3.0, **kw)
+    resc = pipe.sample(up, dp, seed, guidance_scale=3.0,
+                       cfg_rescale=0.7, **kw)
+    resc2 = pipe.sample(up, dp, seed, guidance_scale=3.0,
+                        cfg_rescale=0.7, **kw)
+    np.testing.assert_array_equal(np.asarray(resc), np.asarray(resc2))
+    assert np.any(np.asarray(resc) != np.asarray(plain))
+
+    # at scale 1 guided == conditional, so rescale is a ~no-op
+    # (std_c/std_g == 1 up to the 1e-6 epsilon); allow uint8 rounding
+    s1 = pipe.sample(up, dp, seed, guidance_scale=1.0, **kw)
+    s1r = pipe.sample(up, dp, seed, guidance_scale=1.0,
+                      cfg_rescale=0.7, **kw)
+    assert np.max(np.abs(np.asarray(s1, np.int32)
+                         - np.asarray(s1r, np.int32))) <= 1
+
+
+def test_cfg_rescale_matches_reference_formula():
+    """The in-pipeline rescale must equal the paper's formula applied to
+    the same cond/uncond predictions (checked through _denoise_fn with a
+    tiny UNet, one denoise call)."""
+    from ldm_image_generator_tpu.pipelines import LDMPipeline
+
+    ucfg = cond_cfg()
+    vcfg = VAEConfig().tiny()
+    pipe = LDMPipeline(ucfg, vcfg, DDPMConfig(), dtype=jnp.float32)
+    key = jax.random.PRNGKey(0)
+    z = jnp.zeros((1, 8, 8, ucfg.input_channels), jnp.float32)
+    t1 = jnp.zeros((1,), jnp.int32)
+    up = pipe.unet.init({"params": key, "moe": key}, z, t1)
+
+    cond = jnp.asarray([1, 1], jnp.int32)
+    gs, phi = 3.0, 0.7
+    denoise, base, use_cfg = pipe._denoise_fn(
+        up, 8, 4, None, False, cond, gs, cfg_rescale=phi)
+    assert use_cfg
+
+    x = jax.random.normal(jax.random.PRNGKey(3),
+                          (2, 8, 8, ucfg.input_channels), jnp.float32)
+    t = jnp.full((2,), 10, jnp.int32)
+    k = jax.random.PRNGKey(4)
+    got = denoise(x, t, k)
+
+    null = jnp.full_like(cond, ucfg.num_classes)
+    pred_c = base(x, t, k, cond)
+    pred_u = base(x, t, k, null)
+    guided = pred_u + gs * (pred_c - pred_u)
+    ax = (1, 2, 3)
+    std_c = jnp.std(pred_c, axis=ax, keepdims=True)
+    std_g = jnp.std(guided, axis=ax, keepdims=True)
+    want = phi * (guided * (std_c / (std_g + 1e-6))) \
+        + (1 - phi) * guided
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)

@@ -85,3 +85,38 @@ def test_kid_min_set_sizes(n, m):
     a = jax.random.normal(jax.random.PRNGKey(0), (n, 6))
     b = jax.random.normal(jax.random.PRNGKey(1), (m, 6))
     assert np.isfinite(float(kid(a, b)))
+
+
+def test_random_conv_features_independent_metric():
+    """random_conv_features: deterministic (fixed seed baked in),
+    VAE-free, and its KID separates distributions the same way the
+    patched metric does — near zero for same-distribution draws, large
+    for disjoint ones."""
+    import jax
+
+    from ldm_image_generator_tpu.utils.quality import (
+        kid, random_conv_features,
+    )
+
+    key = jax.random.PRNGKey(0)
+    a = jax.random.uniform(key, (8, 64, 64, 3), minval=-1, maxval=1)
+    b = jax.random.uniform(jax.random.PRNGKey(1), (8, 64, 64, 3),
+                           minval=-1, maxval=1)
+    # structured alternative distribution: smooth gradients, not noise
+    import jax.numpy as jnp
+
+    ramp = jnp.linspace(-1, 1, 64)
+    c = jnp.tile(ramp[None, :, None, None], (8, 1, 64, 3)) \
+        + 0.05 * jax.random.normal(jax.random.PRNGKey(2),
+                                   (8, 64, 64, 3))
+
+    fa = random_conv_features(a)
+    fa2 = random_conv_features(a)
+    np.testing.assert_array_equal(np.asarray(fa), np.asarray(fa2))
+    assert fa.ndim == 2 and fa.shape[0] > 8  # per-patch features
+
+    fb = random_conv_features(b)
+    fc = random_conv_features(c)
+    same = float(kid(fa, fb))
+    diff = float(kid(fa, fc))
+    assert diff > same + 0.1, (same, diff)

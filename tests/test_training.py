@@ -188,3 +188,62 @@ def test_remat_training_matches_no_remat():
                     jax.tree.leaves(grads["remat"])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_grad_clip_bounds_update_norm():
+    """make_optimizer(grad_clip=...) must cap the global gradient norm
+    entering AdamW: a gradient scaled 1000x must produce the same first
+    update as the clipped original (both hit the clip ceiling)."""
+    import optax
+
+    from ldm_image_generator_tpu.train import make_optimizer
+
+    params = {"w": jnp.ones((4, 4)), "b": jnp.ones((4,))}
+    g = {"w": jnp.full((4, 4), 3.0), "b": jnp.full((4,), -2.0)}
+    g_big = jax.tree.map(lambda a: a * 1000.0, g)
+
+    tx = make_optimizer("adamw", 1e-3, grad_clip=0.1)
+    u1, _ = tx.update(g, tx.init(params), params)
+    u2, _ = tx.update(g_big, tx.init(params), params)
+    for a, b in zip(jax.tree.leaves(u1), jax.tree.leaves(u2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+
+    # tiny gradients (norm below the ceiling) are untouched by the clip
+    g_small = jax.tree.map(lambda a: a * 1e-6, g)
+    tx_noclip = make_optimizer("adamw", 1e-3)
+    ua, _ = tx.update(g_small, tx.init(params), params)
+    ub, _ = tx_noclip.update(g_small, tx_noclip.init(params), params)
+    for a, b in zip(jax.tree.leaves(ua), jax.tree.leaves(ub)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-9)
+
+
+def test_lr_schedules():
+    """make_lr_schedule: cosine warms 0 -> peak over warmup_steps then
+    decays to 10% of peak at total_steps; constant+warmup ramps then
+    holds; bare constant returns the float unchanged."""
+    from ldm_image_generator_tpu.train import make_lr_schedule
+
+    peak, warm, total = 1e-4, 100, 1000
+    cos = make_lr_schedule(peak, "cosine", warm, total)
+    assert float(cos(0)) < 1e-6
+    np.testing.assert_allclose(float(cos(warm)), peak, rtol=1e-6)
+    np.testing.assert_allclose(float(cos(total)), 0.1 * peak, rtol=1e-3)
+    # monotone decay after warmup
+    vals = [float(cos(s)) for s in range(warm, total, 100)]
+    assert all(a >= b for a, b in zip(vals, vals[1:]))
+
+    cw = make_lr_schedule(peak, "constant", warmup_steps=warm)
+    assert float(cw(0)) < 1e-6
+    np.testing.assert_allclose(float(cw(warm)), peak, rtol=1e-6)
+    np.testing.assert_allclose(float(cw(10 * total)), peak, rtol=1e-6)
+
+    assert make_lr_schedule(peak, "constant") == peak
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        make_lr_schedule(peak, "cosine", warm, 0)
+    with pytest.raises(ValueError):
+        make_lr_schedule(peak, "nope")
