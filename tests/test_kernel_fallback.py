@@ -174,3 +174,36 @@ def test_attention_dispatcher_survives_forced_compile_failure(monkeypatch):
     p32 = mha32.init(jax.random.PRNGKey(1), x, x)
     got32 = mha32.apply(p32, x, x)
     assert got32.shape == x.shape
+
+
+def test_force_probe_overrides_probe_off(monkeypatch):
+    """pallas_usable(force_probe=True) must probe even when
+    LDM_TPU_PALLAS_PROBE is unset — the attention backward uses it to
+    keep unvalidated (L, C, fold) signatures away from a compiler known
+    to crash on some shapes (round-5 ADVICE item)."""
+    from ldm_image_generator_tpu.kernels import dispatch
+
+    monkeypatch.delenv("LDM_TPU_PALLAS_PROBE", raising=False)
+    monkeypatch.delenv("LDM_TPU_NO_PALLAS", raising=False)
+    dispatch.clear_probe_cache()
+
+    calls = []
+
+    def boom():
+        calls.append(1)
+        raise RuntimeError("mosaic crash")
+
+    # probe off, no force: thunk never runs, branch allowed
+    assert dispatch.pallas_usable("attn", ("s1",), boom)
+    assert not calls
+    # forced: thunk runs once, failure cached, branch denied
+    assert not dispatch.pallas_usable("attn", ("s1",), boom,
+                                      force_probe=True)
+    assert len(calls) == 1
+    assert not dispatch.pallas_usable("attn", ("s1",), boom,
+                                      force_probe=True)
+    assert len(calls) == 1  # verdict cached
+    # a passing thunk under force_probe keeps the branch
+    assert dispatch.pallas_usable("attn", ("s2",), lambda: None,
+                                  force_probe=True)
+    dispatch.clear_probe_cache()
