@@ -425,19 +425,25 @@ def main():
                   if k["step"] == ldm_steps and k["weights"] == "ema"]
     winners = [k for k in finals_ema
                if k["per_row_ok"] and k["diag"] < init_diag]
-    winners.sort(key=lambda k: k["diag"])
-    best = winners[0] if winners else None
 
-    # independent-path cross-check on the winner: the random-conv KID
-    # matrix should agree on per-row wins (disagreement = the patched
-    # metric may be self-referential on this model — analyzed, not
-    # silently trusted)
-    rand_agrees = None
-    if best is not None and "kid_matrix_randconv" in best:
-        rm = best["kid_matrix_randconv"]
-        rand_agrees = bool(all(
+    # independent-path cross-check: per-row wins on the random-conv KID
+    # matrix too (disagreement = the patched metric may be
+    # self-referential on this model — analyzed, not silently trusted)
+    def rand_ok(k):
+        rm = k.get("kid_matrix_randconv")
+        if rm is None:
+            return False
+        return bool(all(
             all(rm[c][c] < rm[c][cr] for cr in range(n_classes)
                 if cr != c) for c in range(n_classes)))
+
+    # prefer operating points BOTH bases endorse; among those, lowest
+    # patched diag (round-5 first run: all 8 EMA cells passed patched
+    # per-row wins, only guidance 3.0 also passed random-conv — the
+    # independent basis says steering strengthens with scale)
+    winners.sort(key=lambda k: (not rand_ok(k), k["diag"]))
+    best = winners[0] if winners else None
+    rand_agrees = rand_ok(best) if best is not None else None
 
     result.update({
         "ok": best is not None,
