@@ -49,8 +49,9 @@ def emit(metric, value, unit, baseline=None):
     print(json.dumps(rec), flush=True)
 
 
-TRAIN_CASES = ("ldm_b8", "ldm_b64", "ldm_b64_fwdonly", "ldm_b64_nopt",
-               "ldm_b64_marginal", "ldm_b64_remat", "vae_gan")
+TRAIN_CASES = ("ldm_b8", "ldm_b64", "ldm_b64_fwdonly", "ldm_b64_fwd_det",
+               "ldm_b64_nopt", "ldm_b64_marginal", "ldm_b64_remat",
+               "vae_gan")
 
 
 def main():
@@ -202,7 +203,7 @@ def run_train_case(case: str):
         step = make_ldm_train_step(unet, schedule, tx)
         xb = jax.random.normal(key, (batch, 32, 32, 8), jnp.float32)
 
-        if case in ("ldm_b64_fwdonly", "ldm_b64_nopt"):
+        if case in ("ldm_b64_fwdonly", "ldm_b64_fwd_det", "ldm_b64_nopt"):
             # Per-segment attribution of the train step (round-3 verdict
             # item 1): fwdonly = the exact training forward (loss value,
             # stochastic depth ON, same rngs as the step); nopt adds
@@ -211,11 +212,18 @@ def run_train_case(case: str):
             # the segments are read from; run on an idle host).
             from ldm_image_generator_tpu.diffusion import ddpm_loss
 
+            # fwd_det: the same training forward with stochastic depth
+            # OFF — (fwdonly - fwd_det) isolates the SD mask/RNG cost,
+            # (fwd_det - the standalone denoise 16.99 ms) isolates
+            # q_sample + per-sample-t + loss (round-5 VERDICT item 5:
+            # attribute the 25.8 vs 17.0 ms training-forward gap)
+            det = case == "ldm_b64_fwd_det"
+
             def loss_fn(params, x, k):
                 def denoise(x_t, t, kk):
                     k_moe, k_sd = jax.random.split(kk)
                     return unet.apply(
-                        params, x_t, t, None, deterministic=False,
+                        params, x_t, t, None, deterministic=det,
                         rngs={"moe": k_moe, "sd": k_sd},
                     ).astype(jnp.float32)
 
@@ -223,7 +231,7 @@ def run_train_case(case: str):
 
             # params travel as an ARGUMENT (a jit closing over the 385M
             # tree bakes 1.5GB of constants and kills the remote compile)
-            if case == "ldm_b64_fwdonly":
+            if case in ("ldm_b64_fwdonly", "ldm_b64_fwd_det"):
                 @jax.jit
                 def chain(x, params):
                     def body(c, i):
@@ -248,6 +256,7 @@ def run_train_case(case: str):
                     return jax.lax.scan(body, x, jnp.arange(n))
 
             name = {"ldm_b64_fwdonly": "ldm_train_fwd_b64_latent32",
+                    "ldm_b64_fwd_det": "ldm_train_fwd_det_b64_latent32",
                     "ldm_b64_nopt": "ldm_train_fwdbwd_b64_latent32"}[case]
             try:
                 _, out = chain(xb, up)

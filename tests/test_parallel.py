@@ -261,3 +261,45 @@ def test_zero1_opt_state_sharding_matches_single_device():
         and "data" in str(getattr(l.sharding, "spec", ""))
     ]
     assert sharded_moments, "no optimizer-state leaf kept a ZeRO-1 layout"
+
+
+def test_zero1_with_grad_clip_and_schedule():
+    """--zero1 + --grad-clip + cosine LR (the round-5 stability recipe):
+    optax.chain(clip, adamw(schedule)) changes the opt-state pytree
+    (tuple of per-transform states incl. the schedule's count);
+    shard_opt_state must still shard the Adam moments and the jitted
+    step must run and keep layouts."""
+    from ldm_image_generator_tpu.parallel import shard_opt_state
+
+    cfg = UNetConfig(
+        input_channels=4, stages=(1, 1), channels=(32, 256),
+        stochastic_depth=0.0,
+    )
+    unet, params, x = _build(cfg, batch=8)
+    schedule = make_schedule(DDPMConfig(num_timesteps=50))
+    tx = make_optimizer("adamw", 1e-3, grad_clip=1.0,
+                        lr_schedule="cosine", warmup_steps=2,
+                        total_steps=10)
+    step = make_ldm_train_step(unet, schedule, tx, stochastic_depth=False)
+
+    mesh = make_mesh(8, model_parallel=2)
+    sp = shard_params(params, mesh)
+    x_sh = jax.device_put(x, batch_sharding(mesh, x.ndim))
+
+    s0 = LDMTrainState(params=sp, opt_state=tx.init(sp),
+                       step=jnp.zeros((), jnp.int32))
+    with jax.sharding.set_mesh(mesh):
+        s0, m0 = jax.jit(step)(s0, x_sh, jax.random.PRNGKey(1))
+
+    opt_z = shard_opt_state(tx.init(sp), mesh, min_size=1024)
+    s1 = LDMTrainState(params=sp, opt_state=opt_z,
+                       step=jnp.zeros((), jnp.int32))
+    with jax.sharding.set_mesh(mesh):
+        s1, m1 = jax.jit(step)(s1, x_sh, jax.random.PRNGKey(1))
+
+    np.testing.assert_allclose(float(m0["loss"]), float(m1["loss"]),
+                               rtol=1e-5)
+    for l0, l1 in zip(jax.tree.leaves(s0.params),
+                      jax.tree.leaves(s1.params)):
+        np.testing.assert_allclose(np.asarray(l0), np.asarray(l1),
+                                   rtol=2e-4, atol=2e-6)
