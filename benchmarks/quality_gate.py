@@ -110,7 +110,15 @@ def main():
     vae_steps = argval("--vae-steps", 8 if smoke else 600)
     ldm_steps = argval("--ldm-steps", 12 if smoke else 4000)
     size = 64 if smoke else 256
-    n_crops = 48 if smoke else 768
+    # 2048 crops (round-5 second run): the 768-crop corpus diverges at
+    # the 4000-step horizon under BOTH the reference recipe (r04:
+    # raw KID 1.58 -> 8.13) and the clip+cosine recipe (r05 first run:
+    # 2.08 -> 9.52 with loss 0.19 < r04's 0.23 — trains faster,
+    # memorizes sooner). Same data+seeds, two optimizer recipes, same
+    # divergence => data-limited memorization is the root cause, not LR
+    # instability. 4000 steps x b8 / 2048 = 15.6 epochs stays in the
+    # generalizing regime (the conditional gate passed at 26).
+    n_crops = argval("--crops", 48 if smoke else 2048)
     recipe = "reference" if "--recipe" in sys.argv and \
         sys.argv[sys.argv.index("--recipe") + 1] == "reference" else "stable"
 
@@ -314,11 +322,20 @@ def main():
     def eval_kid(params, tag, sampler="ddim", num_steps=20,
                  cache_interval=1):
         """Returns (kid_mean, kid_std, kid_randconv_mean) — patched-VAE
-        KID plus the independent random-conv-feature KID."""
-        imgs = pipe.sample(params, dec_params, jax.random.PRNGKey(42),
-                           batch=16, image_size=size, num_steps=num_steps,
-                           sampler=sampler, cache_interval=cache_interval)
-        imgs = np.asarray(jax.device_get(imgs))
+        KID plus the independent random-conv-feature KID.
+
+        16 images are sampled as TWO batch-8 calls: the batch-16 dpm2m
+        program put the C=1024 forward Pallas kernel 208KB over the 16MB
+        scoped-vmem limit on this toolchain (r05 first run, remote AOT
+        OOM) — batch 8 halves the window count per kernel invocation and
+        every sampler/cache variant shares the same safe geometry."""
+        halves = []
+        for si, seed in enumerate((42, 43)):
+            h = pipe.sample(params, dec_params, jax.random.PRNGKey(seed),
+                            batch=8, image_size=size, num_steps=num_steps,
+                            sampler=sampler, cache_interval=cache_interval)
+            halves.append(np.asarray(jax.device_get(h)))
+        imgs = np.concatenate(halves)
         grid = imgs.reshape(4, 4, size, size, 3).transpose(
             0, 2, 1, 3, 4).reshape(4 * size, 4 * size, 3)
         save_image(grid, os.path.join(qdir, f"samples_{tag}.jpg"))
@@ -373,11 +390,16 @@ def main():
     # "DDIM-20 quality in ~10 steps" measured on real samples through
     # the production KID gate (round-3 verdict item 5 — previously an
     # ODE-error proxy only)
-    dpm_kid, dpm_std, _ = eval_kid(lstate.ema_params, "final_dpm2m",
-                                   sampler="dpm++2m", num_steps=10)
-    log({"phase": "dpm2m", "kid": round(dpm_kid, 5),
-         "kid_std": round(dpm_std, 5)})
-    result["dpm2m_10step_kid"] = round(dpm_kid, 5)
+    try:
+        dpm_kid, dpm_std, _ = eval_kid(lstate.ema_params, "final_dpm2m",
+                                       sampler="dpm++2m", num_steps=10)
+        log({"phase": "dpm2m", "kid": round(dpm_kid, 5),
+             "kid_std": round(dpm_std, 5)})
+        result["dpm2m_10step_kid"] = round(dpm_kid, 5)
+    except Exception as e:  # a pass failure must not kill the artifact
+        dpm_kid, dpm_std = float("nan"), float("nan")
+        result["dpm2m_error"] = str(e)[:300]
+        log({"phase": "dpm2m", "error": str(e)[:160]})
     write_artifact()
 
     # DeepCache pass (arXiv 2312.03209-style deep-core reuse,
@@ -386,12 +408,17 @@ def main():
     # speedup ships with a KID delta, not a hope
     dc_kids = {}
     for ci in (2, 3):
-        m_dc, s_dc, _ = eval_kid(lstate.ema_params, f"final_dc{ci}",
-                                 cache_interval=ci)
-        log({"phase": "deepcache", "interval": ci, "kid": round(m_dc, 5),
-             "kid_std": round(s_dc, 5)})
-        dc_kids[str(ci)] = {"kid": round(m_dc, 5),
-                            "kid_std": round(s_dc, 5)}
+        try:
+            m_dc, s_dc, _ = eval_kid(lstate.ema_params, f"final_dc{ci}",
+                                     cache_interval=ci)
+            log({"phase": "deepcache", "interval": ci,
+                 "kid": round(m_dc, 5), "kid_std": round(s_dc, 5)})
+            dc_kids[str(ci)] = {"kid": round(m_dc, 5),
+                                "kid_std": round(s_dc, 5)}
+        except Exception as e:
+            dc_kids[str(ci)] = {"error": str(e)[:300]}
+            log({"phase": "deepcache", "interval": ci,
+                 "error": str(e)[:160]})
         result["deepcache_kid"] = dc_kids
         write_artifact()
 
@@ -425,11 +452,14 @@ def main():
         "dpm2m_10step_kid": round(dpm_kid, 5),
         "deepcache_kid": dc_kids,
         "deepcache2_matches_ddim": bool(
-            dc_kids["2"]["kid"] <= final_ema
+            "kid" in dc_kids.get("2", {})
+            and dc_kids["2"]["kid"] <= final_ema
             + 2 * max(kids[-1]["kid_std"], dc_kids["2"]["kid_std"])
         ),
         "dpm2m_matches_ddim20": bool(
-            dpm_kid <= final_ema + 2 * max(kids[-1]["kid_std"], dpm_std)
+            dpm_kid == dpm_kid  # not NaN (pass didn't error)
+            and dpm_kid <= final_ema
+            + 2 * max(kids[-1]["kid_std"], dpm_std)
         ),
     })
     write_artifact()
