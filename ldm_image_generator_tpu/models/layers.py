@@ -286,9 +286,18 @@ class RandomMoE(nn.Module):
         conv_kernel: Optional[jnp.ndarray] = None,
         conv_bias: Optional[jnp.ndarray] = None,
         add_residual: bool = False,
+        pair_id: Optional[jnp.ndarray] = None,
     ):
         """Standard call: x is the (already normalized + FiLMed) input,
         returns general(x) + e_i(x) + e_j(x).
+
+        pair_id: optional scalar int32 in [0, E-choose-2) selecting the
+        unordered expert pair from the canonical `pairs` table — the
+        routing-plan fast path (UNet draws ONE vectorized randint for all
+        blocks per apply instead of a per-block scalar fold_in+threefry
+        inside the sampling scan; docs/PERF.md routing/scalar handling).
+        Only meaningful at experts_per_call == 2; the distribution is
+        identical to the make_rng draw (uniform over the same table).
 
         Fused call (film_mul/film_bias given): x is the RAW block input;
         channel_norm + FiLM + the three ReGLUs run as one Pallas kernel
@@ -326,11 +335,15 @@ class RandomMoE(nn.Module):
         dt = self.dtype
         pairs = [(i, j) for i in range(e) for j in range(i + 1, e)]
 
+        if pair_id is not None and self.experts_per_call != 2:
+            pair_id = None  # pair table only covers the 2-of-E routing
+
         if film_mul is not None:
             # fused path (norm + FiLM + FFN [+ conv + residual])
             if expert_indices is None:
-                rng = self.make_rng("moe")
-                pair_id = jax.random.randint(rng, (), 0, len(pairs))
+                if pair_id is None:
+                    rng = self.make_rng("moe")
+                    pair_id = jax.random.randint(rng, (), 0, len(pairs))
                 pair_table = jnp.asarray(pairs, dtype=jnp.int32)
                 expert_indices = pair_table[pair_id]
             ids = jnp.asarray(expert_indices, dtype=jnp.int32)
@@ -415,8 +428,9 @@ class RandomMoE(nn.Module):
             # unlike a dynamic gather — no weight copies are materialized
             # per call (a gather cost ~190MB of HBM traffic per denoise
             # step on the default UNet)
-            rng = self.make_rng("moe")
-            pair_id = jax.random.randint(rng, (), 0, len(pairs))
+            if pair_id is None:
+                rng = self.make_rng("moe")
+                pair_id = jax.random.randint(rng, (), 0, len(pairs))
             out = jax.lax.switch(
                 pair_id,
                 [
@@ -605,7 +619,7 @@ class SwinBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, t, cond=None, deterministic: bool = True,
-                 film=None, collect_film: bool = False):
+                 film=None, collect_film: bool = False, moe_pair_id=None):
         c = self.channels
         # guard for tiny test configs where channels < head_dim (the
         # reference would divide by zero here, unet.py:30)
@@ -682,12 +696,13 @@ class SwinBlock(nn.Module):
                     branch, h = moe(
                         x, film_mul=mul, film_bias=bias,
                         conv_kernel=ck, conv_bias=cb,
-                        add_residual=fold_res,
+                        add_residual=fold_res, pair_id=moe_pair_id,
                     )
                 conv_done, res_folded = True, fold_res
             else:
                 with jax.named_scope("ffn_fused"):
-                    branch, h = moe(x, film_mul=mul, film_bias=bias)
+                    branch, h = moe(x, film_mul=mul, film_bias=bias,
+                                    pair_id=moe_pair_id)
         else:
             with jax.named_scope("norm_film"):
                 h = channel_norm(x) if self._on("norm") else x
@@ -700,9 +715,9 @@ class SwinBlock(nn.Module):
                     h = enc(h, t)
             if self._on("moe"):
                 with jax.named_scope("moe_ffn"):
-                    branch = moe(h)
+                    branch = moe(h, pair_id=moe_pair_id)
             else:
-                _ = moe(h[:, :1, :1, :])
+                _ = moe(h[:, :1, :1, :], pair_id=moe_pair_id)
                 branch = jnp.zeros_like(h)
         if not conv_done:
             if self._on("conv"):
@@ -777,7 +792,7 @@ class SwinStack(nn.Module):
 
     @nn.compact
     def __call__(self, x, t, cond=None, deterministic: bool = True,
-                 film=None, collect_film: bool = False):
+                 film=None, collect_film: bool = False, moe_plan=None):
         films = {}
         for i in range(self.num_blocks):
             shift = self.window_size // 2 if i % 2 == 0 else 0
@@ -806,7 +821,9 @@ class SwinStack(nn.Module):
                 films[f"block_{i}"] = mb
             else:
                 bf = None if film is None else film[f"block_{i}"]
-                x = block(x, t, cond, deterministic, bf)
+                mp = None if moe_plan is None else moe_plan[i]
+                x = block(x, t, cond, deterministic, bf,
+                          moe_pair_id=mp)
         if collect_film:
             return x, films
         return x

@@ -14,6 +14,7 @@ CrossAttention returns None anyway).
 """
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -111,6 +112,39 @@ class UNet(nn.Module):
             dtype=self.dtype, name="encoder_first",
         )(x)
 
+        # MoE routing plan: ONE vectorized randint for every block's
+        # 2-of-E expert-pair draw per apply, instead of a per-block
+        # scalar fold_in+threefry (36 tiny scalar kernels per step on
+        # the default config — the measured ~0.35 ms/step
+        # "routing/scalar handling" of docs/PERF.md). The distribution
+        # is unchanged (iid uniform over the same unordered-pair table,
+        # matching the reference's random.sample 2-of-E, modules.py:35);
+        # slots are keyed by stage NAME so the DeepCache fast path (which
+        # runs only enc/dec_stage_0) draws the same routing for those
+        # stages as the full path under the same key.
+        moe_plan = None
+        plan_offsets = {}
+        if (
+            not collect_film
+            and cfg.fixed_expert_indices is None
+            and cfg.experts_per_call == 2
+            and self.has_rng("moe")
+            # LDM_MOE_PLAN=0: per-block make_rng draws (the pre-plan
+            # path) — kept for paired in-process A/B measurement
+            and os.environ.get("LDM_MOE_PLAN", "1") != "0"
+        ):
+            off = 0
+            for i in range(n):
+                plan_offsets[f"enc_stage_{i}"] = off
+                off += stages[i]
+            for i in reversed(range(n)):
+                plan_offsets[f"dec_stage_{i}"] = off
+                off += stages[i]
+            n_pairs = cfg.num_experts * (cfg.num_experts - 1) // 2
+            moe_plan = jax.random.randint(
+                self.make_rng("moe"), (off,), 0, n_pairs
+            )
+
         # cfg.remat: rematerialize each stage in backward (jax.checkpoint)
         # — trades recompute FLOPs for activation memory so large batches
         # fit HBM (args x=0, t=1, cond=2 are arrays; deterministic is the
@@ -148,8 +182,12 @@ class UNet(nn.Module):
                     x, time, cond, deterministic, None, True
                 )
             f = None if film is None else film[name]
+            mp = None
+            if moe_plan is not None:
+                o = plan_offsets[name]
+                mp = moe_plan[o:o + stages[i]]
             return make_stack(stack_cls, i, attn, name)(
-                x, time, cond, deterministic, f
+                x, time, cond, deterministic, f, moe_plan=mp
             )
 
         films = {}
