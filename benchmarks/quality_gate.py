@@ -351,6 +351,10 @@ def main():
         ])
         rmean, _ = kid_mean_std(real_rfeats, fake_rfeats,
                                 jax.random.PRNGKey(7))
+        # release the prepared-state cache (bf16 casts + film schedules
+        # AND their strong refs to this eval's raw/EMA fp32 trees) so
+        # the next training phase keeps its full HBM headroom
+        pipe.clear_prep_cache()
         return float(mean), float(std), float(rmean)
 
     kids = []

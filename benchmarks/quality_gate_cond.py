@@ -355,6 +355,10 @@ def main():
                                             jax.random.PRNGKey(7))
                         rrow.append(round(float(m), 5))
                     rmats[g].append(rrow)
+        # release the prepared-state cache (bf16 casts + film schedules
+        # AND their strong refs to this eval's raw/EMA fp32 trees) so
+        # the next training phase keeps its full HBM headroom
+        pipe.clear_prep_cache()
         return (mats, rmats) if with_rand else mats
 
     def summarize(mat, step, which, g, rescale):

@@ -11,7 +11,9 @@ dimension first-class (the reference hardcodes batch=1, sample_ldm.py:72).
 """
 from __future__ import annotations
 
+import collections
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -44,8 +46,21 @@ def cast_floating(tree, dtype):
     )
 
 
+def film_schedule_ts(num_timesteps: int, num_steps: int,
+                     steps=None) -> np.ndarray:
+    """The ascending int32 timestep value set a sampler run visits —
+    the linspace the DDIM/DPM samplers derive from num_steps
+    (ddpm.py:66-72 semantics), or the deduped explicit `steps` list.
+    Shared by make_cached_denoise and the prepared-state cache so the
+    FiLM schedule is keyed by exactly the sampler's t values."""
+    if steps is None:
+        return np.linspace(0, num_timesteps - 1, num_steps).astype(np.int32)
+    return np.asarray(sorted(set(int(s) for s in steps)), dtype=np.int32)
+
+
 def make_cached_denoise(unet, unet_params, num_timesteps: int,
-                        num_steps: int, probe_shape, steps=None):
+                        num_steps: int, probe_shape, steps=None,
+                        precomputed=None):
     """Build a denoise_fn closing over a precomputed FiLM schedule cache.
 
     The UNet's FiLM towers are ~184M of the default 385.7M params and
@@ -64,16 +79,21 @@ def make_cached_denoise(unet, unet_params, num_timesteps: int,
     Checked invariant: a timestep outside the cached schedule poisons
     the FiLM slice with NaN so a cache miss fails loudly (all-NaN
     output) instead of silently conditioning with index 0's values.
+
+    precomputed: an already-collected film pytree for the SAME
+    (params, schedule, probe_shape) — the prepared-state cache
+    (LDMPipeline._prep) computes it once per weight tree instead of
+    once per sampling call and passes it through the jit boundary.
     """
-    if steps is None:
-        ts_np = np.linspace(0, num_timesteps - 1, num_steps).astype(np.int32)
-    else:
-        ts_np = np.asarray(sorted(set(int(s) for s in steps)), dtype=np.int32)
+    ts_np = film_schedule_ts(num_timesteps, num_steps, steps)
     ts_arr = jnp.asarray(ts_np[::-1].copy())
-    probe = jnp.zeros(probe_shape, jnp.float32)
-    film_cache = unet.apply(
-        unet_params, probe, ts_arr, deterministic=True, collect_film=True
-    )
+    if precomputed is not None:
+        film_cache = precomputed
+    else:
+        probe = jnp.zeros(probe_shape, jnp.float32)
+        film_cache = unet.apply(
+            unet_params, probe, ts_arr, deterministic=True, collect_film=True
+        )
 
     def denoise(x, t_vec, k, condition=None, deep=None, with_deep=False):
         matches = ts_arr == t_vec[0]
@@ -101,6 +121,115 @@ def to_uint8(img: jnp.ndarray) -> jnp.ndarray:
     return (img * 127.5 + 127.5).astype(jnp.uint8)
 
 
+# --- Prepared-state cache ---------------------------------------------------
+#
+# Everything a sampling call does that depends only on the WEIGHTS (not
+# the seed) is hoisted out of the per-call jitted program and memoized
+# across calls: the fp32 -> compute-dtype cast of the param trees
+# (~2.3 GB of HBM traffic per call for the default 385.7M UNet: 1.5 GB
+# fp32 reads + 0.77 GB bf16 writes) and the FiLM schedule collection
+# (one pass over the ~184M-param conditioning towers per call). A
+# production sampler calls the pipeline many times with the same
+# weights — bench.py's headline loop, the serving daemon's dispatch
+# loop — so this work amortizes to zero. Numerics are identical: the
+# prepared path runs the exact same subcomputations, once.
+#
+# Cache entries hold a strong reference to the ORIGINAL param tree and
+# hits require `cached_tree is params` — object identity, so a hit can
+# never alias a different tree that reused a freed id(). Entries are
+# LRU-bounded (prepared bf16 trees are ~0.77 GB each for the default
+# model); long-lived processes that cycle many weight trees (training
+# loops that sample periodically) should call clear_prep_cache() after
+# an eval block to release the device memory. LDM_PREP_CACHE=0 disables
+# the cache entirely (per-call prep inside the jitted program, the
+# pre-round-5 behavior) for A/B measurement.
+
+_PREP_CAST_MAX = 2   # prepared param trees kept (LRU)
+_PREP_FILM_MAX = 4   # film schedules kept (per (tree, size, steps) key)
+
+
+def _prep_cache_enabled() -> bool:
+    return os.environ.get("LDM_PREP_CACHE", "1") != "0"
+
+
+def _has_tracer(*trees) -> bool:
+    """True when any leaf is a jax Tracer — i.e. we were called inside
+    another trace (jit/vmap/grad); Python-level memoization must not
+    capture tracers, so the pipeline falls back to in-program prep."""
+    return any(
+        isinstance(leaf, jax.core.Tracer)
+        for tree in trees
+        for leaf in jax.tree.leaves(tree)
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _cast_jit(tree, dtype):
+    return cast_floating(tree, dtype)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4, 5))
+def _film_jit(unet, params_cast, num_timesteps, num_steps, probe_shape,
+              steps):
+    """Collect the FiLM schedule for every sampler timestep (the same
+    subcomputation make_cached_denoise runs inline) as its own jitted
+    program, so the prepared-state cache can reuse it across calls."""
+    ts_np = film_schedule_ts(num_timesteps, num_steps, steps)
+    ts_arr = jnp.asarray(ts_np[::-1].copy())
+    probe = jnp.zeros(probe_shape, jnp.float32)
+    return unet.apply(
+        params_cast, probe, ts_arr, deterministic=True, collect_film=True
+    )
+
+
+class _PrepCache:
+    """Identity-keyed LRU memo for prepared (cast + film) state."""
+
+    def __init__(self):
+        self.cast = collections.OrderedDict()
+        self.film = collections.OrderedDict()
+
+    def clear(self):
+        self.cast.clear()
+        self.film.clear()
+
+    def get_cast(self, tree, dtype):
+        key = (id(tree), dtype)
+        ent = self.cast.get(key)
+        if ent is not None and ent[0] is tree:
+            self.cast.move_to_end(key)
+            return ent[1]
+        if all(
+            not (hasattr(l, "dtype")
+                 and jnp.issubdtype(l.dtype, jnp.floating))
+            or l.dtype == dtype
+            for l in jax.tree.leaves(tree)
+        ):
+            val = tree  # already in the compute dtype: no device copy
+        else:
+            val = _cast_jit(tree, dtype)
+        self.cast[key] = (tree, val)
+        self.cast.move_to_end(key)
+        while len(self.cast) > _PREP_CAST_MAX:
+            self.cast.popitem(last=False)
+        return val
+
+    def get_film(self, unet, tree, tree_cast, num_timesteps, num_steps,
+                 probe_shape, steps):
+        key = (id(tree), num_timesteps, num_steps, probe_shape, steps)
+        ent = self.film.get(key)
+        if ent is not None and ent[0] is tree:
+            self.film.move_to_end(key)
+            return ent[1]
+        val = _film_jit(unet, tree_cast, num_timesteps, num_steps,
+                        probe_shape, steps)
+        self.film[key] = (tree, val)
+        self.film.move_to_end(key)
+        while len(self.film) > _PREP_FILM_MAX:
+            self.film.popitem(last=False)
+        return val
+
+
 class LDMPipeline:
     """Latent diffusion sampler: DDIM over the UNet in latent space, then
     VAE decode to pixels (sample_ldm.py flow)."""
@@ -119,10 +248,32 @@ class LDMPipeline:
         self.prediction = ddpm_cfg.prediction
         self.unet_cfg = unet_cfg
         self.vae_cfg = vae_cfg
+        self._prep = _PrepCache()
+
+    def clear_prep_cache(self) -> None:
+        """Release the prepared-state cache's device memory (the cast
+        bf16 trees + film schedules). Call after an eval block inside a
+        training loop so the trainer's HBM headroom is unchanged."""
+        self._prep.clear()
+
+    def _prepared(self, unet_params, decoder_params, latent: int,
+                  num_steps: int, steps, want_film: bool):
+        """Memoized seed-independent prep: (cast unet tree, cast decoder
+        tree, film schedule or None). See _PrepCache above."""
+        unet_c = self._prep.get_cast(unet_params, self.unet.dtype)
+        dec_c = self._prep.get_cast(decoder_params, self.decoder.dtype)
+        film = None
+        if want_film:
+            film = self._prep.get_film(
+                self.unet, unet_params, unet_c,
+                self.schedule.num_timesteps, num_steps,
+                (1, latent, latent, self.unet_cfg.input_channels), steps,
+            )
+        return unet_c, dec_c, film
 
     def _denoise_fn(self, unet_params, latent: int, num_steps: int,
                     steps, film_cache: bool, condition, guidance_scale,
-                    cfg_rescale: float = 0.0):
+                    cfg_rescale: float = 0.0, film_pre=None):
         """Build the per-step denoise closure: FiLM-cached or plain UNet
         apply, optionally wrapped in classifier-free guidance (shared by
         `sample` and `img2img`).
@@ -138,7 +289,7 @@ class LDMPipeline:
             base = make_cached_denoise(
                 self.unet, unet_params, self.schedule.num_timesteps,
                 num_steps, (1, latent, latent, self.unet_cfg.input_channels),
-                steps=steps,
+                steps=steps, precomputed=film_pre,
             )
         else:
             def base(x, t_vec, k, condition=None, deep=None,
@@ -194,8 +345,6 @@ class LDMPipeline:
 
         return denoise, base, use_cfg
 
-    @functools.partial(jax.jit,
-                       static_argnums=(0, 4, 5, 6, 7, 8, 9, 11, 13, 15, 16))
     def sample(
         self,
         unet_params,
@@ -216,6 +365,11 @@ class LDMPipeline:
         cfg_rescale: float = 0.0,
     ) -> jnp.ndarray:
         """Returns uint8 images [batch, image_size, image_size, 3].
+
+        Repeated calls with the SAME param tree objects skip the
+        seed-independent prep (fp32 -> bf16 cast, FiLM schedule
+        collection) via the prepared-state cache — see _PrepCache;
+        LDM_PREP_CACHE=0 restores per-call in-program prep.
 
         sampler: 'ddim' (reference semantics) or 'dpm++2m' (second-order
         multistep — DDIM-20 quality in ~10 steps).
@@ -246,17 +400,64 @@ class LDMPipeline:
         cfg_rescale: guidance rescale phi in [0, 1]
         (arXiv:2305.08891 §3.4, see _denoise_fn); only meaningful with
         CFG active. Typical 0.5-0.7 at guidance >= 3."""
+        steps = tuple(int(s) for s in steps) if steps is not None else None
+        latent = image_size // self.vae_cfg.downscale
+        film_pre = None
+        precast = False
+        if _prep_cache_enabled() and not _has_tracer(
+            unet_params, decoder_params
+        ):
+            unet_params, decoder_params, film_pre = self._prepared(
+                unet_params, decoder_params, latent, num_steps, steps,
+                want_film=film_cache,
+            )
+            precast = True
+        return self._sample_jit(
+            unet_params, decoder_params, key, batch, image_size,
+            num_steps, eta, sampler, film_cache, init_noise, steps,
+            condition, guidance_scale, guidance_scales, cache_interval,
+            cfg_rescale, film_pre, precast,
+        )
+
+    @functools.partial(
+        jax.jit,
+        static_argnums=(0, 4, 5, 6, 7, 8, 9, 11, 13, 15, 16, 18),
+    )
+    def _sample_jit(
+        self,
+        unet_params,
+        decoder_params,
+        key: jax.Array,
+        batch: int,
+        image_size: int,
+        num_steps: int,
+        eta: float,
+        sampler: str,
+        film_cache: bool,
+        init_noise: Optional[jnp.ndarray],
+        steps: Optional[Tuple[int, ...]],
+        condition: Optional[jnp.ndarray],
+        guidance_scale: float,
+        guidance_scales: Optional[jnp.ndarray],
+        cache_interval: int,
+        cfg_rescale: float,
+        film_pre,
+        precast: bool,
+    ) -> jnp.ndarray:
         latent = image_size // self.vae_cfg.downscale
         shape = (batch, latent, latent, self.unet_cfg.input_channels)
-        unet_params = cast_floating(unet_params, self.unet.dtype)
-        decoder_params = cast_floating(decoder_params, self.decoder.dtype)
+        if not precast:
+            unet_params = cast_floating(unet_params, self.unet.dtype)
+            decoder_params = cast_floating(
+                decoder_params, self.decoder.dtype
+            )
 
         denoise, base, use_cfg = self._denoise_fn(
             unet_params, latent, num_steps, steps, film_cache,
             condition,
             guidance_scales if guidance_scales is not None
             else guidance_scale,
-            cfg_rescale=cfg_rescale,
+            cfg_rescale=cfg_rescale, film_pre=film_pre,
         )
 
         deep_cache = None
@@ -296,8 +497,6 @@ class LDMPipeline:
         img = self.decoder.apply(decoder_params, z)
         return to_uint8(img)
 
-    @functools.partial(jax.jit,
-                       static_argnums=(0, 6, 7, 8, 9, 10, 13, 16))
     def img2img(
         self,
         unet_params,
@@ -350,10 +549,60 @@ class LDMPipeline:
         sub_steps = tuple(
             np.unique(np.linspace(0, t_start, n).astype(np.int32)).tolist()
         )
+        latent = image.shape[1] // self.vae_cfg.downscale
+        film_pre = None
+        precast = False
+        if _prep_cache_enabled() and not _has_tracer(
+            unet_params, decoder_params, encoder_params
+        ):
+            unet_params, decoder_params, film_pre = self._prepared(
+                unet_params, decoder_params, latent, num_steps, sub_steps,
+                want_film=film_cache,
+            )
+            encoder_params = self._prep.get_cast(
+                encoder_params, self.encoder.dtype
+            )
+            precast = True
+        return self._img2img_jit(
+            unet_params, decoder_params, encoder_params, key, image,
+            sub_steps, num_steps, eta, sampler, film_cache, mask,
+            condition, guidance_scale, fwd_noise, guidance_scales,
+            cfg_rescale, film_pre, precast,
+        )
 
-        unet_params = cast_floating(unet_params, self.unet.dtype)
-        decoder_params = cast_floating(decoder_params, self.decoder.dtype)
-        encoder_params = cast_floating(encoder_params, self.encoder.dtype)
+    @functools.partial(
+        jax.jit, static_argnums=(0, 6, 7, 8, 9, 10, 13, 16, 18),
+    )
+    def _img2img_jit(
+        self,
+        unet_params,
+        decoder_params,
+        encoder_params,
+        key: jax.Array,
+        image: jnp.ndarray,
+        sub_steps: Tuple[int, ...],
+        num_steps: int,
+        eta: float,
+        sampler: str,
+        film_cache: bool,
+        mask: Optional[jnp.ndarray],
+        condition: Optional[jnp.ndarray],
+        guidance_scale: float,
+        fwd_noise: Optional[jnp.ndarray],
+        guidance_scales: Optional[jnp.ndarray],
+        cfg_rescale: float,
+        film_pre,
+        precast: bool,
+    ) -> jnp.ndarray:
+        t_start = sub_steps[-1]
+        if not precast:
+            unet_params = cast_floating(unet_params, self.unet.dtype)
+            decoder_params = cast_floating(
+                decoder_params, self.decoder.dtype
+            )
+            encoder_params = cast_floating(
+                encoder_params, self.encoder.dtype
+            )
 
         z0 = self.encoder.apply(encoder_params, image).astype(jnp.float32)
         b, latent = z0.shape[0], z0.shape[1]
@@ -372,7 +621,7 @@ class LDMPipeline:
             condition,
             guidance_scales if guidance_scales is not None
             else guidance_scale,
-            cfg_rescale=cfg_rescale,
+            cfg_rescale=cfg_rescale, film_pre=film_pre,
         )
 
         project_fn = None
@@ -418,9 +667,12 @@ class DDPMPipeline:
         self.unet = UNet(self.unet_cfg, dtype=dtype)
         self.schedule = make_schedule(ddpm_cfg)
         self.prediction = ddpm_cfg.prediction
+        self._prep = _PrepCache()
 
-    @functools.partial(jax.jit,
-                       static_argnums=(0, 3, 4, 5, 6, 7, 8, 9, 10))
+    def clear_prep_cache(self) -> None:
+        """Release prepared-state device memory (see LDMPipeline)."""
+        self._prep.clear()
+
     def sample(
         self,
         unet_params,
@@ -434,15 +686,52 @@ class DDPMPipeline:
         steps: Optional[Tuple[int, ...]] = None,
         cache_interval: int = 1,
     ) -> jnp.ndarray:
+        steps = tuple(int(s) for s in steps) if steps is not None else None
+        film_pre = None
+        precast = False
+        if _prep_cache_enabled() and not _has_tracer(unet_params):
+            unet_params = self._prep.get_cast(unet_params, self.unet.dtype)
+            if film_cache:
+                film_pre = self._prep.get_film(
+                    self.unet, unet_params, unet_params,
+                    self.schedule.num_timesteps, num_steps,
+                    (1, image_size, image_size,
+                     self.unet_cfg.input_channels), steps,
+                )
+            precast = True
+        return self._sample_jit(
+            unet_params, key, batch, image_size, num_steps, eta, sampler,
+            film_cache, steps, cache_interval, film_pre, precast,
+        )
+
+    @functools.partial(
+        jax.jit, static_argnums=(0, 3, 4, 5, 6, 7, 8, 9, 10, 12),
+    )
+    def _sample_jit(
+        self,
+        unet_params,
+        key: jax.Array,
+        batch: int,
+        image_size: int,
+        num_steps: int,
+        eta: float,
+        sampler: str,
+        film_cache: bool,
+        steps: Optional[Tuple[int, ...]],
+        cache_interval: int,
+        film_pre,
+        precast: bool,
+    ) -> jnp.ndarray:
         shape = (batch, image_size, image_size, self.unet_cfg.input_channels)
-        unet_params = cast_floating(unet_params, self.unet.dtype)
+        if not precast:
+            unet_params = cast_floating(unet_params, self.unet.dtype)
 
         if film_cache:
             denoise = make_cached_denoise(
                 self.unet, unet_params, self.schedule.num_timesteps,
                 num_steps,
                 (1, image_size, image_size, self.unet_cfg.input_channels),
-                steps=steps,
+                steps=steps, precomputed=film_pre,
             )
         else:
             def denoise(x, t_vec, k, condition=None, deep=None,
