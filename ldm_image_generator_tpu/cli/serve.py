@@ -13,7 +13,7 @@ requests are coalesced into fixed jitted batch buckets
     GET  /stats                            -> full counters + latency
                                               histograms (p50/p90/p99)
     GET  /sample?seed=123[&size=512][&class_id=7][&guidance_scale=3.0]
-                 [&priority=high|normal|low]
+                 [&priority=high|normal|low][&steps=10]
                                            -> image/jpeg
     GET  /sample_batch?seeds=1,2,3 | seed=40&n=8  [+ the same options]
                                            -> multipart/mixed stream:
@@ -52,6 +52,13 @@ rides as a traced f32 row — so requests with DIFFERENT scales coalesce
 into one batch and no scale ever triggers a recompile. Requires
 --num-classes (CFG guides against the learned null class).
 
+steps (per request; default --timesteps) selects a sampler step tier —
+a latency/quality knob (e.g. a 10-step preview vs the 20-step final).
+Tiers are the COST buckets the server was launched with (--step-tiers);
+a steps value outside them is 400, and img2img requests don't take one
+(the SDEdit sub-schedule is fixed by --img2img-strength). Same-tier
+requests batch together regardless of their other options' values.
+
 Requests are deterministic per seed and independent of how they get
 batched (each request contributes its own x_T via init_noise; eta=0).
 
@@ -81,6 +88,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-s", "--size", nargs="+", default=[256], type=int,
                    help="image size(s) to serve; first is the default")
     p.add_argument("-t", "--timesteps", default=20, type=int)
+    p.add_argument("--step-tiers", nargs="+", type=int, default=None,
+                   help="additional per-request sampler step counts "
+                        "served alongside --timesteps (e.g. '10' adds a "
+                        "fast preview tier); requests select one with "
+                        "steps=N. Cost bucketing: each tier is its own "
+                        "compiled program per size (different step "
+                        "counts cannot share a device batch), so warmup "
+                        "compiles len(tiers) extra programs per "
+                        "size/bucket")
     p.add_argument("--sampler", default="ddim", choices=["ddim", "dpm++2m"])
     p.add_argument("--cache-interval", default=1, type=int,
                    help="DeepCache deep-feature reuse for the NON-guided "
@@ -174,7 +190,7 @@ def make_sampler(args):
             args.encpath, enc_params, lambda sd: ti.convert_encoder(sd, vcfg)
         ) or enc_params
 
-    def make_for_size(size: int):
+    def make_for_size(size: int, num_steps: int = args.timesteps):
         latent = size // vcfg.downscale
         noise_shape = (latent, latent, ucfg.input_channels)
 
@@ -189,7 +205,7 @@ def make_sampler(args):
             )(keys)
             return pipe.sample(
                 unet_params, dec_params, jax.random.PRNGKey(0),
-                batch=batch, image_size=size, num_steps=args.timesteps,
+                batch=batch, image_size=size, num_steps=num_steps,
                 sampler=args.sampler, init_noise=noise,
                 condition=class_ids,
                 cache_interval=(args.cache_interval
@@ -198,7 +214,7 @@ def make_sampler(args):
 
         return pipeline_sample
 
-    def make_cfg_for_size(size: int):
+    def make_cfg_for_size(size: int, num_steps: int = args.timesteps):
         latent = size // vcfg.downscale
         noise_shape = (latent, latent, ucfg.input_channels)
 
@@ -212,7 +228,7 @@ def make_sampler(args):
             )(keys)
             return pipe.sample(
                 unet_params, dec_params, jax.random.PRNGKey(0),
-                batch=batch, image_size=size, num_steps=args.timesteps,
+                batch=batch, image_size=size, num_steps=num_steps,
                 sampler=args.sampler, init_noise=noise,
                 condition=class_ids, guidance_scales=guidance_scales,
                 cfg_rescale=args.cfg_rescale,
@@ -259,6 +275,18 @@ def make_sampler(args):
             variants[("cfg", s)] = Variant(
                 make_cfg_for_size(s), takes_guidance=True
             )
+    # per-request step tiers (cost bucketing like guidance: a tier is a
+    # different program COST, so each gets its own jitted variant; the
+    # default --timesteps tier keeps the bare keys above)
+    tiers = tuple(sorted(set(getattr(args, "step_tiers", None) or [])
+                         - {args.timesteps}))
+    for n in tiers:
+        for s in sizes:
+            variants[("steps", n, s)] = make_for_size(s, n)
+            if conditional:
+                variants[("steps", n, "cfg", s)] = Variant(
+                    make_cfg_for_size(s, n), takes_guidance=True
+                )
     if args.img2img_strength > 0:
         for s in sizes:
             variants[("img2img", s)] = Variant(
@@ -269,11 +297,12 @@ def make_sampler(args):
                     make_img2img_for_size(s, cfg=True),
                     payload_shape=(s, s, 3), takes_guidance=True,
                 )
-    return variants, sizes[0]
+    return variants, sizes[0], tiers
 
 
 def make_handler(server, jpeg_encode, default_size=None,
-                 default_guidance=1.0):
+                 default_guidance=1.0, step_tiers=(),
+                 default_steps=None):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
             pass
@@ -286,17 +315,36 @@ def make_handler(server, jpeg_encode, default_size=None,
             self.wfile.write(body)
 
         @staticmethod
-        def _route(size, guidance, img2img=False):
-            """(variant key, guidance-or-None): guidance bucketing by
-            COST — scale 1.0 (after defaulting) rides the single-eval
-            variant; anything else the CFG variant, where the scale is
-            a traced per-request value (serving.py)."""
+        def _route(size, guidance, img2img=False, steps=None):
+            """(variant key, guidance-or-None): bucketing by COST —
+            guidance scale 1.0 (after defaulting) rides the single-eval
+            variant, anything else the CFG variant (scale is a traced
+            per-request value); a non-default `steps` count routes to
+            that tier's compiled variants (--step-tiers). ValueError
+            for a steps value the server doesn't serve (mapped to 400
+            by the callers)."""
             gs = default_guidance if guidance is None else guidance
             use_cfg = gs != 1.0
             size_eff = size if size is not None else default_size
+            if steps is not None and steps == default_steps:
+                steps = None  # the default tier keeps the bare keys
+            if steps is not None and steps not in step_tiers:
+                raise ValueError(
+                    f"steps={steps} is not served; tiers: "
+                    f"{sorted(set(step_tiers) | ({default_steps} if default_steps else set()))}"
+                )
             if img2img:
+                if steps is not None:
+                    raise ValueError(
+                        "steps tiers are not available for img2img "
+                        "(the SDEdit sub-schedule is set by the "
+                        "server's --img2img-strength)"
+                    )
                 variant = (("cfg", "img2img", size_eff) if use_cfg
                            else ("img2img", size_eff))
+            elif steps is not None:
+                variant = (("steps", steps, "cfg", size_eff) if use_cfg
+                           else ("steps", steps, size_eff))
             else:
                 variant = ("cfg", size_eff) if use_cfg else size
             return variant, (gs if use_cfg else None)
@@ -312,14 +360,14 @@ def make_handler(server, jpeg_encode, default_size=None,
 
         def _sample(self, seed: int, size=None, class_id=None,
                     payload=None, img2img=False, guidance=None,
-                    priority=1):
+                    priority=1, steps=None):
             # every failure mode maps to a specific HTTP status, never a
             # dropped connection: 503 shed, 504 ttl-expired, 400 bad
-            # variant/class_id/payload/guidance, 500 anything else
+            # variant/class_id/payload/guidance/steps, 500 anything else
             from ldm_image_generator_tpu.serving import ServerOverloaded
 
-            variant, gs = self._route(size, guidance, img2img)
             try:
+                variant, gs = self._route(size, guidance, img2img, steps)
                 fut = server.submit(seed, variant=variant,
                                     class_id=class_id, payload=payload,
                                     guidance=gs, priority=priority)
@@ -345,7 +393,7 @@ def make_handler(server, jpeg_encode, default_size=None,
         MAX_BATCH_SEEDS = 64
 
         def _sample_batch(self, seeds, size=None, class_id=None,
-                          guidance=None, priority=1):
+                          guidance=None, priority=1, steps=None):
             """Streamed batch sampling: submit every seed up front (so
             they coalesce into full device batches) and write each JPEG
             as a multipart/mixed part the moment its future resolves —
@@ -358,9 +406,9 @@ def make_handler(server, jpeg_encode, default_size=None,
 
             from ldm_image_generator_tpu.serving import ServerOverloaded
 
-            variant, gv = self._route(size, guidance)
             futs = {}
             try:
+                variant, gv = self._route(size, guidance, steps=steps)
                 for s in seeds:
                     futs[server.submit(s, variant=variant,
                                        class_id=class_id, guidance=gv,
@@ -445,13 +493,15 @@ def make_handler(server, jpeg_encode, default_size=None,
                     cid = self._parse_size(q.get("class_id", [None])[0])
                     raw_gs = q.get("guidance_scale", [None])[0]
                     gs = float(raw_gs) if raw_gs is not None else None
+                    nst = self._parse_size(q.get("steps", [None])[0])
                     prio = self._parse_priority(
                         q.get("priority", [None])[0])
                 except ValueError as e:
                     return self._send(
                         400, json.dumps({"error": f"bad arg: {e}"}).encode()
                     )
-                self._sample(seed, size, cid, guidance=gs, priority=prio)
+                self._sample(seed, size, cid, guidance=gs, priority=prio,
+                             steps=nst)
             elif url.path == "/sample_batch":
                 q = parse_qs(url.query)
                 try:
@@ -470,6 +520,7 @@ def make_handler(server, jpeg_encode, default_size=None,
                     cid = self._parse_size(q.get("class_id", [None])[0])
                     raw_gs = q.get("guidance_scale", [None])[0]
                     gs = float(raw_gs) if raw_gs is not None else None
+                    nst = self._parse_size(q.get("steps", [None])[0])
                     prio = self._parse_priority(
                         q.get("priority", [None])[0])
                 except ValueError as e:
@@ -477,7 +528,7 @@ def make_handler(server, jpeg_encode, default_size=None,
                         400, json.dumps({"error": f"bad arg: {e}"}).encode()
                     )
                 self._sample_batch(seeds, size, cid, guidance=gs,
-                                   priority=prio)
+                                   priority=prio, steps=nst)
             else:
                 self._send(404, b'{"error": "not found"}')
 
@@ -504,6 +555,7 @@ def make_handler(server, jpeg_encode, default_size=None,
                 cid = self._parse_size(body.get("class_id"))
                 raw_gs = body.get("guidance_scale")
                 gs = float(raw_gs) if raw_gs is not None else None
+                nst = self._parse_size(body.get("steps"))
                 prio = self._parse_priority(body.get("priority"))
                 payload = None
                 if url.path == "/img2img":
@@ -544,7 +596,7 @@ def make_handler(server, jpeg_encode, default_size=None,
                 )
             self._sample(seed, size, cid, payload,
                          img2img=url.path == "/img2img", guidance=gs,
-                         priority=prio)
+                         priority=prio, steps=nst)
 
     return Handler
 
@@ -564,7 +616,9 @@ def main(argv=None):
     if args.guidance_scale != 1.0 and not args.num_classes:
         raise SystemExit("--guidance-scale != 1 requires --num-classes "
                          "(CFG guides against the learned null class)")
-    pipelines, default_size = make_sampler(args)
+    if args.step_tiers and any(t < 1 for t in args.step_tiers):
+        raise SystemExit("--step-tiers must be >= 1")
+    pipelines, default_size, step_tiers = make_sampler(args)
     server = SamplerServer(pipelines, batch_buckets=args.buckets,
                            max_wait_ms=args.max_wait_ms,
                            max_queue=args.max_queue,
@@ -584,7 +638,9 @@ def main(argv=None):
     httpd = ThreadingHTTPServer(
         (args.host, args.port),
         make_handler(server, jpeg_encode, default_size,
-                     default_guidance=args.guidance_scale),
+                     default_guidance=args.guidance_scale,
+                     step_tiers=step_tiers,
+                     default_steps=args.timesteps),
     )
     print(f"serving on http://{args.host}:{args.port}", flush=True)
     try:

@@ -754,3 +754,87 @@ def test_http_sample_batch_streams_multipart():
     finally:
         httpd.shutdown()
         srv.stop()
+
+
+def test_http_step_tiers_route_by_cost():
+    """steps=N routes to the ('steps', N, size) tier variants
+    (--step-tiers); the default tier keeps the bare keys; an unserved
+    tier is 400; img2img requests don't take steps (400)."""
+    import http.client
+    import io
+    from http.server import ThreadingHTTPServer
+
+    import PIL.Image
+
+    from ldm_image_generator_tpu.cli.serve import make_handler
+
+    def final(keys, batch):
+        return jnp.zeros((batch, 8, 8, 3), jnp.uint8)
+
+    def preview(keys, batch):
+        return jnp.full((batch, 8, 8, 3), 200, jnp.uint8)
+
+    srv = SamplerServer(
+        {8: final, ("steps", 5, 8): preview},
+        batch_buckets=(1, 2), max_wait_ms=5,
+    )
+    srv.start()
+
+    def jpeg_encode(img):
+        buf = io.BytesIO()
+        PIL.Image.fromarray(np.asarray(img)).save(buf, format="JPEG")
+        return buf.getvalue()
+
+    httpd = ThreadingHTTPServer(
+        ("127.0.0.1", 0),
+        make_handler(srv, jpeg_encode, default_size=8,
+                     step_tiers=(5,), default_steps=20),
+    )
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+
+    def fetch(path):
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        conn.request("GET", path)
+        r = conn.getresponse()
+        body = r.read()
+        conn.close()
+        return r.status, body
+
+    try:
+        # default tier -> bare variant (dark)
+        st, body = fetch("/sample?seed=1")
+        assert st == 200
+        assert np.asarray(PIL.Image.open(io.BytesIO(body))).mean() < 50
+        # explicit default steps -> SAME bare variant (not a tier key)
+        st, body = fetch("/sample?seed=1&steps=20")
+        assert st == 200
+        assert np.asarray(PIL.Image.open(io.BytesIO(body))).mean() < 50
+        # preview tier -> tier variant (bright)
+        st, body = fetch("/sample?seed=1&steps=5")
+        assert st == 200
+        assert np.asarray(PIL.Image.open(io.BytesIO(body))).mean() > 150
+        # /sample_batch takes the same knob
+        st, body = fetch("/sample_batch?seeds=1,2&steps=5")
+        assert st == 200 and body.count(b"Content-Type: image/jpeg") == 2
+        # unserved tier -> 400 naming the available tiers
+        st, body = fetch("/sample?seed=1&steps=7")
+        assert st == 400 and b"tiers" in body
+        # malformed -> 400
+        st, _ = fetch("/sample?seed=1&steps=abc")
+        assert st == 400
+    finally:
+        httpd.shutdown()
+        srv.stop()
+
+
+def test_route_steps_img2img_rejected():
+    from ldm_image_generator_tpu.cli.serve import make_handler
+
+    handler = make_handler(None, None, default_size=8, step_tiers=(5,),
+                           default_steps=20)
+    with pytest.raises(ValueError, match="img2img"):
+        handler._route(8, None, img2img=True, steps=5)
+    # default steps on img2img is fine (it's a no-op)
+    variant, _ = handler._route(8, None, img2img=True, steps=20)
+    assert variant == ("img2img", 8)
