@@ -55,6 +55,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="generate this class (class-conditional models)")
     p.add_argument("--guidance-scale", default=1.0, type=float,
                    help="classifier-free guidance strength (1 = off)")
+    p.add_argument("--negative-class", default=None, type=int,
+                   help="negative-class guidance: condition the CFG "
+                        "baseline on this class instead of the null "
+                        "class, steering samples AWAY from it (requires "
+                        "--class-id and --guidance-scale != 1)")
     p.add_argument("--cfg-rescale", default=0.0, type=float,
                    help="guidance rescale phi (arXiv:2305.08891 §3.4): "
                         "counters CFG over-saturation at scale >= 3; "
@@ -101,6 +106,17 @@ def main(argv=None):
     ucfg = dataclasses.replace(ucfg, ffn_quant=args.quant)
     if args.class_id is not None and args.num_classes <= 0:
         raise SystemExit("--class-id requires --num-classes > 0")
+    if args.negative_class is not None:
+        # fail fast (before the model is built): the negative baseline
+        # only participates when CFG is active
+        if args.class_id is None:
+            raise SystemExit("--negative-class requires --class-id")
+        if args.guidance_scale == 1.0:
+            raise SystemExit(
+                "--negative-class has no effect at --guidance-scale 1.0")
+        if not 0 <= args.negative_class < args.num_classes:
+            raise SystemExit(
+                f"--negative-class must be in [0, {args.num_classes})")
     if args.num_classes > 0:
         ucfg = dataclasses.replace(ucfg, num_classes=args.num_classes)
     dtype = jnp.bfloat16 if args.fp16 else jnp.float32
@@ -123,6 +139,10 @@ def main(argv=None):
     condition = None
     if args.class_id is not None:
         condition = jnp.full((args.numimages,), args.class_id, jnp.int32)
+    negative = None
+    if args.negative_class is not None:
+        negative = jnp.full(
+            (args.numimages,), args.negative_class, jnp.int32)
     if args.init_image is not None:
         from ldm_image_generator_tpu.data.dataset import preprocess_image
 
@@ -148,7 +168,7 @@ def main(argv=None):
             strength=args.strength, num_steps=args.timesteps, eta=args.eta,
             sampler=args.sampler, mask=mask,
             condition=condition, guidance_scale=args.guidance_scale,
-            cfg_rescale=args.cfg_rescale,
+            cfg_rescale=args.cfg_rescale, negative_condition=negative,
         )
     else:
         imgs = pipe.sample(
@@ -157,7 +177,7 @@ def main(argv=None):
             num_steps=args.timesteps, eta=args.eta, sampler=args.sampler,
             condition=condition, guidance_scale=args.guidance_scale,
             cache_interval=args.cache_interval,
-            cfg_rescale=args.cfg_rescale,
+            cfg_rescale=args.cfg_rescale, negative_condition=negative,
         )
     imgs = jax.device_get(imgs)
     os.makedirs(args.outdir, exist_ok=True)

@@ -13,7 +13,7 @@ requests are coalesced into fixed jitted batch buckets
     GET  /stats                            -> full counters + latency
                                               histograms (p50/p90/p99)
     GET  /sample?seed=123[&size=512][&class_id=7][&guidance_scale=3.0]
-                 [&priority=high|normal|low][&steps=10]
+                 [&negative_class=2][&priority=high|normal|low][&steps=10]
                                            -> image/jpeg
     GET  /sample_batch?seeds=1,2,3 | seed=40&n=8  [+ the same options]
                                            -> multipart/mixed stream:
@@ -51,6 +51,13 @@ variant; any other scale routes to the CFG variant, where the scale
 rides as a traced f32 row — so requests with DIFFERENT scales coalesce
 into one batch and no scale ever triggers a recompile. Requires
 --num-classes (CFG guides against the learned null class).
+
+negative_class (per request; query/body, guided requests only):
+negative-class guidance — the CFG baseline is conditioned on this class
+instead of the null class, steering the sample AWAY from it. Rides the
+CFG variant as a traced int row (the null id is a per-sample no-op), so
+requests with and without a negative prompt coalesce; a negative_class
+at guidance_scale 1.0 is rejected (400) since it would have no effect.
 
 steps (per request; default --timesteps) selects a sampler step tier —
 a latency/quality knob (e.g. a 10-step preview vs the 20-step final).
@@ -218,11 +225,15 @@ def make_sampler(args):
         latent = size // vcfg.downscale
         noise_shape = (latent, latent, ucfg.input_channels)
 
-        def pipeline_cfg(keys, batch, class_ids, guidance_scales):
+        def pipeline_cfg(keys, batch, class_ids, guidance_scales,
+                         negative_ids):
             # the guided bucket: per-request scales ride as a traced f32
             # row (one compiled program for every scale; mixed-scale
             # requests share the batch). Costs two UNet evals per step,
             # which is why scale==1 requests route to pipeline_sample.
+            # negative_ids: per-request negative-class guidance — the
+            # null id is a per-sample no-op, so plain-CFG and
+            # negative-prompt requests coalesce into the same batch.
             noise = jax.vmap(
                 lambda k: jax.random.normal(k, noise_shape, jnp.float32)
             )(keys)
@@ -232,6 +243,7 @@ def make_sampler(args):
                 sampler=args.sampler, init_noise=noise,
                 condition=class_ids, guidance_scales=guidance_scales,
                 cfg_rescale=args.cfg_rescale,
+                negative_condition=negative_ids,
             )
 
         return pipeline_cfg
@@ -241,7 +253,8 @@ def make_sampler(args):
         noise_shape = (latent, latent, ucfg.input_channels)
 
         def pipeline_img2img(keys, batch, class_ids=None,
-                             guidance_scales=None, payload=None):
+                             guidance_scales=None, negative_ids=None,
+                             payload=None):
             # per-request determinism: each request's key seeds its OWN
             # forward-diffusion noise, so the result is independent of
             # batch composition (same contract as pipeline_sample)
@@ -255,6 +268,7 @@ def make_sampler(args):
                 condition=class_ids, fwd_noise=noise,
                 guidance_scales=guidance_scales,
                 cfg_rescale=args.cfg_rescale,
+                negative_condition=negative_ids,
             )
 
         if cfg:
@@ -273,7 +287,8 @@ def make_sampler(args):
     if conditional:
         for s in sizes:
             variants[("cfg", s)] = Variant(
-                make_cfg_for_size(s), takes_guidance=True
+                make_cfg_for_size(s), takes_guidance=True,
+                takes_negative=True,
             )
     # per-request step tiers (cost bucketing like guidance: a tier is a
     # different program COST, so each gets its own jitted variant; the
@@ -285,7 +300,8 @@ def make_sampler(args):
             variants[("steps", n, s)] = make_for_size(s, n)
             if conditional:
                 variants[("steps", n, "cfg", s)] = Variant(
-                    make_cfg_for_size(s, n), takes_guidance=True
+                    make_cfg_for_size(s, n), takes_guidance=True,
+                    takes_negative=True,
                 )
     if args.img2img_strength > 0:
         for s in sizes:
@@ -296,6 +312,7 @@ def make_sampler(args):
                 variants[("cfg", "img2img", s)] = Variant(
                     make_img2img_for_size(s, cfg=True),
                     payload_shape=(s, s, 3), takes_guidance=True,
+                    takes_negative=True,
                 )
     return variants, sizes[0], tiers
 
@@ -315,16 +332,24 @@ def make_handler(server, jpeg_encode, default_size=None,
             self.wfile.write(body)
 
         @staticmethod
-        def _route(size, guidance, img2img=False, steps=None):
+        def _route(size, guidance, img2img=False, steps=None,
+                   negative=None):
             """(variant key, guidance-or-None): bucketing by COST —
             guidance scale 1.0 (after defaulting) rides the single-eval
             variant, anything else the CFG variant (scale is a traced
             per-request value); a non-default `steps` count routes to
             that tier's compiled variants (--step-tiers). ValueError
             for a steps value the server doesn't serve (mapped to 400
-            by the callers)."""
+            by the callers). negative (negative_class) rides the CFG
+            variant as a traced per-request id — it needs a guided
+            request to have any effect, so it is rejected at scale 1."""
             gs = default_guidance if guidance is None else guidance
             use_cfg = gs != 1.0
+            if negative is not None and not use_cfg:
+                raise ValueError(
+                    "negative_class has no effect at guidance_scale 1.0 "
+                    "— pass guidance_scale != 1"
+                )
             size_eff = size if size is not None else default_size
             if steps is not None and steps == default_steps:
                 steps = None  # the default tier keeps the bare keys
@@ -360,17 +385,19 @@ def make_handler(server, jpeg_encode, default_size=None,
 
         def _sample(self, seed: int, size=None, class_id=None,
                     payload=None, img2img=False, guidance=None,
-                    priority=1, steps=None):
+                    priority=1, steps=None, negative=None):
             # every failure mode maps to a specific HTTP status, never a
             # dropped connection: 503 shed, 504 ttl-expired, 400 bad
             # variant/class_id/payload/guidance/steps, 500 anything else
             from ldm_image_generator_tpu.serving import ServerOverloaded
 
             try:
-                variant, gs = self._route(size, guidance, img2img, steps)
+                variant, gs = self._route(size, guidance, img2img,
+                                          steps, negative)
                 fut = server.submit(seed, variant=variant,
                                     class_id=class_id, payload=payload,
-                                    guidance=gs, priority=priority)
+                                    guidance=gs, negative_class=negative,
+                                    priority=priority)
             except ServerOverloaded as e:
                 return self._send_503(e)
             except (KeyError, ValueError) as e:
@@ -393,7 +420,8 @@ def make_handler(server, jpeg_encode, default_size=None,
         MAX_BATCH_SEEDS = 64
 
         def _sample_batch(self, seeds, size=None, class_id=None,
-                          guidance=None, priority=1, steps=None):
+                          guidance=None, priority=1, steps=None,
+                          negative=None):
             """Streamed batch sampling: submit every seed up front (so
             they coalesce into full device batches) and write each JPEG
             as a multipart/mixed part the moment its future resolves —
@@ -408,10 +436,12 @@ def make_handler(server, jpeg_encode, default_size=None,
 
             futs = {}
             try:
-                variant, gv = self._route(size, guidance, steps=steps)
+                variant, gv = self._route(size, guidance, steps=steps,
+                                          negative=negative)
                 for s in seeds:
                     futs[server.submit(s, variant=variant,
                                        class_id=class_id, guidance=gv,
+                                       negative_class=negative,
                                        priority=priority)] = s
             except ServerOverloaded as e:
                 for f in futs:
@@ -493,6 +523,8 @@ def make_handler(server, jpeg_encode, default_size=None,
                     cid = self._parse_size(q.get("class_id", [None])[0])
                     raw_gs = q.get("guidance_scale", [None])[0]
                     gs = float(raw_gs) if raw_gs is not None else None
+                    neg = self._parse_size(
+                        q.get("negative_class", [None])[0])
                     nst = self._parse_size(q.get("steps", [None])[0])
                     prio = self._parse_priority(
                         q.get("priority", [None])[0])
@@ -501,7 +533,7 @@ def make_handler(server, jpeg_encode, default_size=None,
                         400, json.dumps({"error": f"bad arg: {e}"}).encode()
                     )
                 self._sample(seed, size, cid, guidance=gs, priority=prio,
-                             steps=nst)
+                             steps=nst, negative=neg)
             elif url.path == "/sample_batch":
                 q = parse_qs(url.query)
                 try:
@@ -520,6 +552,8 @@ def make_handler(server, jpeg_encode, default_size=None,
                     cid = self._parse_size(q.get("class_id", [None])[0])
                     raw_gs = q.get("guidance_scale", [None])[0]
                     gs = float(raw_gs) if raw_gs is not None else None
+                    neg = self._parse_size(
+                        q.get("negative_class", [None])[0])
                     nst = self._parse_size(q.get("steps", [None])[0])
                     prio = self._parse_priority(
                         q.get("priority", [None])[0])
@@ -528,7 +562,7 @@ def make_handler(server, jpeg_encode, default_size=None,
                         400, json.dumps({"error": f"bad arg: {e}"}).encode()
                     )
                 self._sample_batch(seeds, size, cid, guidance=gs,
-                                   priority=prio, steps=nst)
+                                   priority=prio, steps=nst, negative=neg)
             else:
                 self._send(404, b'{"error": "not found"}')
 
@@ -555,6 +589,7 @@ def make_handler(server, jpeg_encode, default_size=None,
                 cid = self._parse_size(body.get("class_id"))
                 raw_gs = body.get("guidance_scale")
                 gs = float(raw_gs) if raw_gs is not None else None
+                neg = self._parse_size(body.get("negative_class"))
                 nst = self._parse_size(body.get("steps"))
                 prio = self._parse_priority(body.get("priority"))
                 payload = None
@@ -596,7 +631,7 @@ def make_handler(server, jpeg_encode, default_size=None,
                 )
             self._sample(seed, size, cid, payload,
                          img2img=url.path == "/img2img", guidance=gs,
-                         priority=prio, steps=nst)
+                         priority=prio, steps=nst, negative=neg)
 
     return Handler
 

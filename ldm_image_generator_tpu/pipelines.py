@@ -273,7 +273,8 @@ class LDMPipeline:
 
     def _denoise_fn(self, unet_params, latent: int, num_steps: int,
                     steps, film_cache: bool, condition, guidance_scale,
-                    cfg_rescale: float = 0.0, film_pre=None):
+                    cfg_rescale: float = 0.0, film_pre=None,
+                    negative_condition=None):
         """Build the per-step denoise closure: FiLM-cached or plain UNet
         apply, optionally wrapped in classifier-free guidance (shared by
         `sample` and `img2img`).
@@ -284,7 +285,15 @@ class LDMPipeline:
         `phi * rescaled + (1-phi) * guided`. Counters the
         over-saturation/blow-up failure of large guidance scales (the
         observed saturated-white collapse of guided samples,
-        QUALITY_COND_r04); 0 = off (plain CFG)."""
+        QUALITY_COND_r04); 0 = off (plain CFG).
+
+        negative_condition: optional int ids [batch] — negative-class
+        guidance: the CFG baseline branch is conditioned on these ids
+        instead of the learned null class, steering each sample AWAY
+        from its negative class (eps_neg + g * (eps_cond - eps_neg)).
+        The null id (== num_classes) is a per-sample no-op, so requests
+        with and without a negative prompt coalesce into one batch with
+        numerics identical to plain CFG. Ignored when CFG is off."""
         if film_cache:
             base = make_cached_denoise(
                 self.unet, unet_params, self.schedule.num_timesteps,
@@ -318,6 +327,10 @@ class LDMPipeline:
             return base, base, use_cfg
         if use_cfg:
             null = jnp.full_like(condition, self.unet_cfg.num_classes)
+            neg = (
+                null if negative_condition is None
+                else negative_condition.astype(condition.dtype)
+            )
             gs = (
                 guidance_scale.astype(jnp.float32)[:, None, None, None]
                 if per_sample else guidance_scale
@@ -327,7 +340,7 @@ class LDMPipeline:
                 # same key both branches: identical MoE routing isolates
                 # the conditioning signal in the guidance delta
                 pred_c = base(x, t_vec, k, condition)
-                pred_u = base(x, t_vec, k, null)
+                pred_u = base(x, t_vec, k, neg)
                 guided = pred_u + gs * (pred_c - pred_u)
                 if cfg_rescale > 0.0:
                     ax = tuple(range(1, guided.ndim))
@@ -363,6 +376,7 @@ class LDMPipeline:
         guidance_scales: Optional[jnp.ndarray] = None,
         cache_interval: int = 1,
         cfg_rescale: float = 0.0,
+        negative_condition: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         """Returns uint8 images [batch, image_size, image_size, 3].
 
@@ -399,8 +413,25 @@ class LDMPipeline:
         before shipping a given interval. Not with CFG.
         cfg_rescale: guidance rescale phi in [0, 1]
         (arXiv:2305.08891 §3.4, see _denoise_fn); only meaningful with
-        CFG active. Typical 0.5-0.7 at guidance >= 3."""
+        CFG active. Typical 0.5-0.7 at guidance >= 3.
+        negative_condition: optional int ids [batch] — negative-class
+        guidance (see _denoise_fn): the CFG baseline is conditioned on
+        these ids instead of the null class, steering away from them.
+        Per-sample; the null id (== num_classes) is a no-op, so it
+        batches freely with plain-CFG requests. Requires CFG active
+        (condition given and guidance != 1)."""
         steps = tuple(int(s) for s in steps) if steps is not None else None
+        if negative_condition is not None:
+            if condition is None or self.unet_cfg.num_classes <= 0:
+                raise ValueError(
+                    "negative_condition requires a class-conditional "
+                    "model and a condition"
+                )
+            if guidance_scales is None and guidance_scale == 1.0:
+                raise ValueError(
+                    "negative_condition has no effect at guidance 1.0 — "
+                    "pass guidance_scale != 1 or guidance_scales"
+                )
         latent = image_size // self.vae_cfg.downscale
         film_pre = None
         precast = False
@@ -416,7 +447,7 @@ class LDMPipeline:
             unet_params, decoder_params, key, batch, image_size,
             num_steps, eta, sampler, film_cache, init_noise, steps,
             condition, guidance_scale, guidance_scales, cache_interval,
-            cfg_rescale, film_pre, precast,
+            cfg_rescale, film_pre, precast, negative_condition,
         )
 
     @functools.partial(
@@ -443,6 +474,7 @@ class LDMPipeline:
         cfg_rescale: float,
         film_pre,
         precast: bool,
+        negative_condition: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         latent = image_size // self.vae_cfg.downscale
         shape = (batch, latent, latent, self.unet_cfg.input_channels)
@@ -458,6 +490,7 @@ class LDMPipeline:
             guidance_scales if guidance_scales is not None
             else guidance_scale,
             cfg_rescale=cfg_rescale, film_pre=film_pre,
+            negative_condition=negative_condition,
         )
 
         deep_cache = None
@@ -515,6 +548,7 @@ class LDMPipeline:
         fwd_noise: Optional[jnp.ndarray] = None,
         guidance_scales: Optional[jnp.ndarray] = None,
         cfg_rescale: float = 0.0,
+        negative_condition: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         """Image-to-image / inpainting (SDEdit, arXiv:2108.01073): encode
         the input, diffuse it to t_start = strength * (T-1), then run the
@@ -543,6 +577,17 @@ class LDMPipeline:
             raise ValueError(f"strength must be in (0, 1], got {strength}")
         if mask is not None and sampler != "ddim":
             raise ValueError("inpainting (mask=) requires sampler='ddim'")
+        if negative_condition is not None:
+            if condition is None or self.unet_cfg.num_classes <= 0:
+                raise ValueError(
+                    "negative_condition requires a class-conditional "
+                    "model and a condition"
+                )
+            if guidance_scales is None and guidance_scale == 1.0:
+                raise ValueError(
+                    "negative_condition has no effect at guidance 1.0 — "
+                    "pass guidance_scale != 1 or guidance_scales"
+                )
         T = self.schedule.num_timesteps
         t_start = max(1, int(round(strength * (T - 1))))
         n = max(2, int(round(strength * num_steps)))
@@ -567,7 +612,7 @@ class LDMPipeline:
             unet_params, decoder_params, encoder_params, key, image,
             sub_steps, num_steps, eta, sampler, film_cache, mask,
             condition, guidance_scale, fwd_noise, guidance_scales,
-            cfg_rescale, film_pre, precast,
+            cfg_rescale, film_pre, precast, negative_condition,
         )
 
     @functools.partial(
@@ -593,6 +638,7 @@ class LDMPipeline:
         cfg_rescale: float,
         film_pre,
         precast: bool,
+        negative_condition: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         t_start = sub_steps[-1]
         if not precast:
@@ -622,6 +668,7 @@ class LDMPipeline:
             guidance_scales if guidance_scales is not None
             else guidance_scale,
             cfg_rescale=cfg_rescale, film_pre=film_pre,
+            negative_condition=negative_condition,
         )
 
         project_fn = None

@@ -71,22 +71,27 @@ class Variant:
     """A servable pipeline with optional per-request features.
 
     fn is called as fn(keys, batch[, class_ids][, guidance_scales]
-    [, payload=...]): class_ids rides when the server has num_classes
-    set; guidance_scales (f32 [batch], when takes_guidance) carries each
-    request's classifier-free-guidance strength as a TRACED vector — one
-    compiled program serves every scale and mixed-scale requests
-    coalesce into the same batch (requests without one, and batch
-    padding, ride as 1.0); payload (e.g. an img2img init image) when
-    payload_shape is declared — requests to a payload variant MUST
-    supply a payload of that per-request shape, which the worker stacks
-    to [batch, *payload_shape] (zero rows pad). Bare callables passed to
-    SamplerServer are wrapped as Variant(fn) — the no-payload contract
-    is unchanged."""
+    [, negative_ids][, payload=...]): class_ids rides when the server
+    has num_classes set; guidance_scales (f32 [batch], when
+    takes_guidance) carries each request's classifier-free-guidance
+    strength as a TRACED vector — one compiled program serves every
+    scale and mixed-scale requests coalesce into the same batch
+    (requests without one, and batch padding, ride as 1.0);
+    negative_ids (int32 [batch], when takes_negative) carries each
+    request's negative-class id for negative guidance — the null id
+    (== num_classes) is a per-sample no-op, so requests with and
+    without a negative prompt share the batch; payload (e.g. an
+    img2img init image) when payload_shape is declared — requests to a
+    payload variant MUST supply a payload of that per-request shape,
+    which the worker stacks to [batch, *payload_shape] (zero rows
+    pad). Bare callables passed to SamplerServer are wrapped as
+    Variant(fn) — the no-payload contract is unchanged."""
 
     fn: object
     payload_shape: Optional[Tuple[int, ...]] = None
     payload_dtype: object = np.float32
     takes_guidance: bool = False
+    takes_negative: bool = False
 
 
 # _take_group's "nothing to dispatch" sentinel — must be distinct from
@@ -105,6 +110,7 @@ class _Request:
     class_id: Optional[int] = None  # conditional servers only
     payload: Optional[np.ndarray] = None  # payload variants only
     guidance: Optional[float] = None  # takes_guidance variants only
+    negative: Optional[int] = None    # takes_negative variants only
     priority: int = 1          # 0 = interactive .. 2 = background
 
 
@@ -246,6 +252,9 @@ class SamplerServer:
             for k, v in pipelines.items()
         }
         self.num_classes = num_classes
+        assert num_classes is not None or not any(
+            v.takes_negative for v in self._pipelines.values()
+        ), "takes_negative variants need num_classes (the null id)"
         self._default_variant = next(iter(self._pipelines))
         self.buckets = tuple(sorted(set(int(b) for b in batch_buckets)))
         assert self.buckets and self.buckets[0] >= 1
@@ -276,10 +285,11 @@ class SamplerServer:
                 np.asarray(self._dispatch(v, keys, b, None, payload))
 
     def _dispatch(self, v: Variant, keys, bucket, ids, payload,
-                  guidance=None):
+                  guidance=None, negative=None):
         """Call a variant fn with exactly the features it declares.
         ids=None means all-null on conditional servers; guidance=None
-        means all-1.0 on takes_guidance variants."""
+        means all-1.0 on takes_guidance variants; negative=None means
+        all-null on takes_negative variants."""
         args = [keys, bucket]
         if self.num_classes is not None:
             if ids is None:
@@ -290,6 +300,11 @@ class SamplerServer:
             if guidance is None:
                 guidance = jax.numpy.ones((bucket,), jax.numpy.float32)
             args.append(guidance)
+        if v.takes_negative:
+            if negative is None:
+                negative = jax.numpy.full((bucket,), self.num_classes,
+                                          jax.numpy.int32)
+            args.append(negative)
         kwargs = {}
         if v.payload_shape is not None:
             kwargs["payload"] = payload
@@ -319,6 +334,7 @@ class SamplerServer:
                class_id: Optional[int] = None,
                payload: Optional[np.ndarray] = None,
                guidance: Optional[float] = None,
+               negative_class: Optional[int] = None,
                priority: int = 1) -> Future:
         """Enqueue one image request; resolves to uint8 [H, W, 3].
 
@@ -365,6 +381,17 @@ class SamplerServer:
             guidance = float(guidance)
             if not np.isfinite(guidance):
                 raise ValueError(f"non-finite guidance scale {guidance}")
+        if negative_class is not None:
+            if not v.takes_negative:
+                raise ValueError(
+                    f"variant {variant!r} does not take a negative class"
+                )
+            if not 0 <= int(negative_class) < (self.num_classes or 0):
+                raise ValueError(
+                    f"negative_class {negative_class} out of range "
+                    f"[0, {self.num_classes})"
+                )
+            negative_class = int(negative_class)
         if class_id is not None:
             if self.num_classes is None:
                 raise ValueError(
@@ -401,7 +428,8 @@ class SamplerServer:
         req = _Request(int(seed), variant, fut, now,
                        now + ttl if ttl is not None else None,
                        class_id=class_id, payload=payload,
-                       guidance=guidance, priority=priority)
+                       guidance=guidance, negative=negative_class,
+                       priority=priority)
         try:
             self._q.put_nowait(req)
         except queue.Full:
@@ -550,9 +578,18 @@ class SamplerServer:
                          for r in group] + [1.0] * pad,
                         jax.numpy.float32,
                     )
+                negative = None
+                if v.takes_negative:
+                    # None / padding -> the null id (plain CFG baseline)
+                    null = self.num_classes
+                    negative = jax.numpy.asarray(
+                        [null if r.negative is None else r.negative
+                         for r in group] + [null] * pad,
+                        jax.numpy.int32,
+                    )
                 imgs = np.asarray(
                     self._dispatch(v, keys, bucket, ids, payload,
-                                   guidance)
+                                   guidance, negative)
                 )
                 self.stats.add(batches=1, images=len(group),
                                padded_images=pad)

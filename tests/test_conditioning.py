@@ -291,3 +291,71 @@ def test_cfg_rescale_matches_reference_formula():
         + (1 - phi) * guided
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_negative_condition_null_is_noop_and_steers():
+    """Negative-class guidance (pipelines._denoise_fn negative_condition):
+    the null id (== num_classes) must reproduce plain CFG bit-exactly
+    per SAMPLE (the coalescing contract serving relies on), and a real
+    negative class must change that sample's output."""
+    from ldm_image_generator_tpu.pipelines import LDMPipeline
+
+    ucfg = cond_cfg()
+    vcfg = VAEConfig().tiny()
+    pipe = LDMPipeline(ucfg, vcfg, DDPMConfig(), dtype=jnp.float32)
+    key = jax.random.PRNGKey(0)
+    z = jnp.zeros((1, 8, 8, ucfg.input_channels), jnp.float32)
+    t = jnp.zeros((1,), jnp.int32)
+    up = pipe.unet.init({"params": key, "moe": key}, z, t)
+    dp = pipe.decoder.init(jax.random.PRNGKey(1), z)
+
+    cond = jnp.asarray([1, 1], jnp.int32)
+    null = ucfg.num_classes
+    kw = dict(batch=2, image_size=16, num_steps=4, condition=cond,
+              guidance_scale=3.0)
+    seed = jax.random.PRNGKey(2)
+    plain = np.asarray(pipe.sample(up, dp, seed, **kw))
+    # all-null negative ids == plain CFG, bit-exact
+    allnull = np.asarray(pipe.sample(
+        up, dp, seed,
+        negative_condition=jnp.asarray([null, null], jnp.int32), **kw))
+    np.testing.assert_array_equal(plain, allnull)
+    # mixed batch: row 0 rides null (unchanged), row 1 steers away
+    # from class 0 (changed) — per-sample independence under batching
+    mixed = np.asarray(pipe.sample(
+        up, dp, seed,
+        negative_condition=jnp.asarray([null, 0], jnp.int32), **kw))
+    np.testing.assert_array_equal(plain[0], mixed[0])
+    assert np.any(plain[1] != mixed[1])
+
+
+def test_negative_condition_validation():
+    from ldm_image_generator_tpu.pipelines import LDMPipeline
+
+    ucfg = cond_cfg()
+    vcfg = VAEConfig().tiny()
+    pipe = LDMPipeline(ucfg, vcfg, DDPMConfig(), dtype=jnp.float32)
+    key = jax.random.PRNGKey(0)
+    z = jnp.zeros((1, 8, 8, ucfg.input_channels), jnp.float32)
+    t = jnp.zeros((1,), jnp.int32)
+    up = pipe.unet.init({"params": key, "moe": key}, z, t)
+    dp = pipe.decoder.init(jax.random.PRNGKey(1), z)
+
+    neg = jnp.asarray([0], jnp.int32)
+    import pytest
+
+    # no condition -> error
+    with pytest.raises(ValueError, match="negative_condition requires"):
+        pipe.sample(up, dp, key, batch=1, image_size=16, num_steps=2,
+                    negative_condition=neg)
+    # guidance 1.0 (CFG off) -> error, it would silently do nothing
+    with pytest.raises(ValueError, match="no effect at guidance 1.0"):
+        pipe.sample(up, dp, key, batch=1, image_size=16, num_steps=2,
+                    condition=jnp.asarray([1], jnp.int32),
+                    guidance_scale=1.0, negative_condition=neg)
+    # per-sample guidance_scales lift the static-1.0 restriction
+    out = pipe.sample(up, dp, key, batch=1, image_size=16, num_steps=2,
+                      condition=jnp.asarray([1], jnp.int32),
+                      guidance_scales=jnp.asarray([2.0], jnp.float32),
+                      negative_condition=neg)
+    assert out.shape == (1, 16, 16, 3)

@@ -838,3 +838,126 @@ def test_route_steps_img2img_rejected():
     # default steps on img2img is fine (it's a no-op)
     variant, _ = handler._route(8, None, img2img=True, steps=20)
     assert variant == ("img2img", 8)
+
+
+def test_negative_variant_batching_and_validation():
+    """takes_negative variants receive per-request negative-class ids
+    as a traced int row; requests without one (and padding) ride the
+    null id == num_classes, so mixed batches coalesce (serving.py
+    Variant.takes_negative, cli/serve.py negative_class)."""
+    from ldm_image_generator_tpu.serving import Variant
+
+    n_cls = 4
+
+    def fn(keys, batch, class_ids, guidance_scales, negative_ids):
+        # encode each request's negative id into its image
+        imgs = jnp.broadcast_to(
+            negative_ids.astype(jnp.float32)[:, None, None, None],
+            (batch, 8, 8, 3),
+        )
+        return imgs.astype(jnp.uint8)
+
+    srv = SamplerServer(
+        {"gen": make_conditional_sample(n_cls),
+         "cfg": Variant(fn, takes_guidance=True, takes_negative=True)},
+        batch_buckets=(1, 2, 4), max_wait_ms=20, num_classes=n_cls,
+    )
+    srv.warmup()
+    with srv:
+        f1 = srv.submit(1, variant="cfg", guidance=3.0, negative_class=2)
+        f2 = srv.submit(2, variant="cfg", guidance=3.0, negative_class=0)
+        f3 = srv.submit(3, variant="cfg", guidance=3.0)  # -> null id
+        a, b, c = (f.result(timeout=30) for f in (f1, f2, f3))
+    assert a[0, 0, 0] == 2 and b[0, 0, 0] == 0  # mixed ids, one batch
+    assert c[0, 0, 0] == n_cls  # absent -> the null id
+
+    with pytest.raises(ValueError, match="does not take"):
+        srv.submit(0, variant="gen", negative_class=1)
+    with pytest.raises(ValueError, match="out of range"):
+        srv.submit(0, variant="cfg", negative_class=n_cls)
+    with pytest.raises(ValueError, match="out of range"):
+        srv.submit(0, variant="cfg", negative_class=-1)
+
+    # takes_negative needs the null id -> unconditional server rejects
+    with pytest.raises(AssertionError, match="takes_negative"):
+        SamplerServer({"cfg": Variant(fn, takes_negative=True)},
+                      batch_buckets=(1,))
+
+
+def test_http_negative_class_routes_and_validates():
+    """negative_class rides guided requests to the CFG variant; at
+    guidance 1.0 it is a 400 (it would silently do nothing on the
+    single-eval variant)."""
+    import http.client
+    import io
+    from http.server import ThreadingHTTPServer
+
+    import PIL.Image
+
+    from ldm_image_generator_tpu.cli.serve import make_handler
+    from ldm_image_generator_tpu.serving import Variant
+
+    def plain(keys, batch, class_ids):
+        return jnp.zeros((batch, 8, 8, 3), jnp.uint8)
+
+    def cfg(keys, batch, class_ids, guidance_scales, negative_ids):
+        imgs = jnp.broadcast_to(
+            (negative_ids * 50).astype(jnp.float32)[:, None, None, None],
+            (batch, 8, 8, 3),
+        )
+        return imgs.astype(jnp.uint8)
+
+    srv = SamplerServer(
+        {8: plain,
+         ("cfg", 8): Variant(cfg, takes_guidance=True,
+                             takes_negative=True)},
+        batch_buckets=(1, 2), max_wait_ms=5, num_classes=4,
+    )
+    srv.start()
+
+    def jpeg_encode(img):
+        buf = io.BytesIO()
+        PIL.Image.fromarray(np.asarray(img)).save(buf, format="JPEG")
+        return buf.getvalue()
+
+    httpd = ThreadingHTTPServer(
+        ("127.0.0.1", 0),
+        make_handler(srv, jpeg_encode, default_size=8,
+                     default_guidance=1.0),
+    )
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+
+    def fetch(path):
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        conn.request("GET", path)
+        r = conn.getresponse()
+        body = r.read()
+        conn.close()
+        return r.status, body
+
+    try:
+        # guided + negative_class -> CFG variant, id delivered (2*50=100)
+        st, body = fetch(
+            "/sample?seed=1&class_id=1&guidance_scale=3.0"
+            "&negative_class=2")
+        assert st == 200
+        img = np.asarray(PIL.Image.open(io.BytesIO(body)))
+        assert abs(float(img.mean()) - 100.0) < 10
+        # guided WITHOUT negative -> null id (4*50=200)
+        st, body = fetch("/sample?seed=1&class_id=1&guidance_scale=3.0")
+        assert st == 200
+        img = np.asarray(PIL.Image.open(io.BytesIO(body)))
+        assert abs(float(img.mean()) - 200.0) < 10
+        # negative at guidance 1.0 -> 400 with the explicit reason
+        st, body = fetch("/sample?seed=1&class_id=1&negative_class=2")
+        assert st == 400 and b"no effect" in body
+        # out-of-range negative -> 400 (submit validation)
+        st, body = fetch(
+            "/sample?seed=1&class_id=1&guidance_scale=3.0"
+            "&negative_class=9")
+        assert st == 400 and b"out of range" in body
+    finally:
+        httpd.shutdown()
+        srv.stop()
