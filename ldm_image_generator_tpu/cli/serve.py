@@ -13,7 +13,8 @@ requests are coalesced into fixed jitted batch buckets
     GET  /stats                            -> full counters + latency
                                               histograms (p50/p90/p99)
     GET  /sample?seed=123[&size=512][&class_id=7][&guidance_scale=3.0]
-                 [&negative_class=2][&priority=high|normal|low][&steps=10]
+                 [&cfg_rescale=0.7][&negative_class=2]
+                 [&priority=high|normal|low][&steps=10]
                                            -> image/jpeg
     GET  /sample_batch?seeds=1,2,3 | seed=40&n=8  [+ the same options]
                                            -> multipart/mixed stream:
@@ -24,10 +25,11 @@ requests are coalesced into fixed jitted batch buckets
                                               the client renders each
                                               image as it finishes
     POST /sample  {"seed": 123, "size": 512, "class_id": 7,
-                   "guidance_scale": 3.0, "priority": "low"}
+                   "guidance_scale": 3.0, "cfg_rescale": 0.7,
+                   "priority": "low"}
                                            -> image/jpeg
     POST /img2img {"seed": 1, "image": "<base64>"[, "size", "class_id",
-                   "guidance_scale", "priority"]}
+                   "guidance_scale", "cfg_rescale", "priority"]}
                                            -> image/jpeg (needs
                                               --img2img-strength > 0)
 
@@ -51,6 +53,13 @@ variant; any other scale routes to the CFG variant, where the scale
 rides as a traced f32 row — so requests with DIFFERENT scales coalesce
 into one batch and no scale ever triggers a recompile. Requires
 --num-classes (CFG guides against the learned null class).
+
+cfg_rescale (per request; default --cfg-rescale, guided requests only):
+guidance rescale phi in [0, 1] (arXiv:2305.08891 §3.4) — like
+guidance_scale it rides the CFG variant as a traced f32 row, so any mix
+of phis (including none: phi 0 is exact plain CFG) coalesces into one
+batch with one compiled program; an explicit cfg_rescale at
+guidance_scale 1.0 is rejected (400) since it would have no effect.
 
 negative_class (per request; query/body, guided requests only):
 negative-class guidance — the CFG baseline is conditioned on this class
@@ -133,9 +142,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "requests that don't pass guidance_scale "
                         "(1 = off; != 1 requires --num-classes)")
     p.add_argument("--cfg-rescale", default=0.0, type=float,
-                   help="guidance rescale phi (arXiv:2305.08891 §3.4) "
-                        "applied server-wide to guided requests (static: "
-                        "part of the compiled program, not per-request)")
+                   help="default guidance rescale phi (arXiv:2305.08891 "
+                        "§3.4) for guided requests that don't pass "
+                        "cfg_rescale themselves (phi rides as a traced "
+                        "per-request row; any phi shares the batch)")
     p.add_argument("--img2img-strength", default=0.0, type=float,
                    help="also serve POST /img2img (SDEdit partial "
                         "diffusion from a client image) at this strength "
@@ -226,7 +236,7 @@ def make_sampler(args):
         noise_shape = (latent, latent, ucfg.input_channels)
 
         def pipeline_cfg(keys, batch, class_ids, guidance_scales,
-                         negative_ids):
+                         negative_ids, rescales):
             # the guided bucket: per-request scales ride as a traced f32
             # row (one compiled program for every scale; mixed-scale
             # requests share the batch). Costs two UNet evals per step,
@@ -234,6 +244,8 @@ def make_sampler(args):
             # negative_ids: per-request negative-class guidance — the
             # null id is a per-sample no-op, so plain-CFG and
             # negative-prompt requests coalesce into the same batch.
+            # rescales: per-request CFG-rescale phi, same coalescing
+            # (phi 0 rows are exact plain CFG).
             noise = jax.vmap(
                 lambda k: jax.random.normal(k, noise_shape, jnp.float32)
             )(keys)
@@ -242,7 +254,7 @@ def make_sampler(args):
                 batch=batch, image_size=size, num_steps=num_steps,
                 sampler=args.sampler, init_noise=noise,
                 condition=class_ids, guidance_scales=guidance_scales,
-                cfg_rescale=args.cfg_rescale,
+                cfg_rescales=rescales,
                 negative_condition=negative_ids,
             )
 
@@ -254,7 +266,7 @@ def make_sampler(args):
 
         def pipeline_img2img(keys, batch, class_ids=None,
                              guidance_scales=None, negative_ids=None,
-                             payload=None):
+                             rescales=None, payload=None):
             # per-request determinism: each request's key seeds its OWN
             # forward-diffusion noise, so the result is independent of
             # batch composition (same contract as pipeline_sample)
@@ -267,7 +279,7 @@ def make_sampler(args):
                 num_steps=args.timesteps, sampler=args.sampler,
                 condition=class_ids, fwd_noise=noise,
                 guidance_scales=guidance_scales,
-                cfg_rescale=args.cfg_rescale,
+                cfg_rescales=rescales,
                 negative_condition=negative_ids,
             )
 
@@ -288,7 +300,7 @@ def make_sampler(args):
         for s in sizes:
             variants[("cfg", s)] = Variant(
                 make_cfg_for_size(s), takes_guidance=True,
-                takes_negative=True,
+                takes_negative=True, takes_rescale=True,
             )
     # per-request step tiers (cost bucketing like guidance: a tier is a
     # different program COST, so each gets its own jitted variant; the
@@ -301,7 +313,7 @@ def make_sampler(args):
             if conditional:
                 variants[("steps", n, "cfg", s)] = Variant(
                     make_cfg_for_size(s, n), takes_guidance=True,
-                    takes_negative=True,
+                    takes_negative=True, takes_rescale=True,
                 )
     if args.img2img_strength > 0:
         for s in sizes:
@@ -312,14 +324,14 @@ def make_sampler(args):
                 variants[("cfg", "img2img", s)] = Variant(
                     make_img2img_for_size(s, cfg=True),
                     payload_shape=(s, s, 3), takes_guidance=True,
-                    takes_negative=True,
+                    takes_negative=True, takes_rescale=True,
                 )
     return variants, sizes[0], tiers
 
 
 def make_handler(server, jpeg_encode, default_size=None,
                  default_guidance=1.0, step_tiers=(),
-                 default_steps=None):
+                 default_steps=None, default_rescale=0.0):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
             pass
@@ -333,16 +345,20 @@ def make_handler(server, jpeg_encode, default_size=None,
 
         @staticmethod
         def _route(size, guidance, img2img=False, steps=None,
-                   negative=None):
-            """(variant key, guidance-or-None): bucketing by COST —
-            guidance scale 1.0 (after defaulting) rides the single-eval
-            variant, anything else the CFG variant (scale is a traced
-            per-request value); a non-default `steps` count routes to
-            that tier's compiled variants (--step-tiers). ValueError
-            for a steps value the server doesn't serve (mapped to 400
-            by the callers). negative (negative_class) rides the CFG
-            variant as a traced per-request id — it needs a guided
-            request to have any effect, so it is rejected at scale 1."""
+                   negative=None, rescale=None):
+            """(variant key, guidance-or-None, rescale-or-None):
+            bucketing by COST — guidance scale 1.0 (after defaulting)
+            rides the single-eval variant, anything else the CFG
+            variant (scale is a traced per-request value); a
+            non-default `steps` count routes to that tier's compiled
+            variants (--step-tiers). ValueError for a steps value the
+            server doesn't serve (mapped to 400 by the callers).
+            negative (negative_class) rides the CFG variant as a traced
+            per-request id — it needs a guided request to have any
+            effect, so it is rejected at scale 1. rescale (cfg_rescale,
+            per-request phi; None -> the server's --cfg-rescale) rides
+            the CFG variant as a traced f32 row the same way, and is
+            likewise rejected when passed explicitly at scale 1."""
             gs = default_guidance if guidance is None else guidance
             use_cfg = gs != 1.0
             if negative is not None and not use_cfg:
@@ -350,6 +366,12 @@ def make_handler(server, jpeg_encode, default_size=None,
                     "negative_class has no effect at guidance_scale 1.0 "
                     "— pass guidance_scale != 1"
                 )
+            if rescale is not None and not use_cfg:
+                raise ValueError(
+                    "cfg_rescale has no effect at guidance_scale 1.0 "
+                    "— pass guidance_scale != 1"
+                )
+            phi = default_rescale if rescale is None else rescale
             size_eff = size if size is not None else default_size
             if steps is not None and steps == default_steps:
                 steps = None  # the default tier keeps the bare keys
@@ -372,7 +394,10 @@ def make_handler(server, jpeg_encode, default_size=None,
                            else ("steps", steps, size_eff))
             else:
                 variant = ("cfg", size_eff) if use_cfg else size
-            return variant, (gs if use_cfg else None)
+            # phi 0.0 is an exact no-op -> ride as None (keeps custom
+            # CFG variants that predate takes_rescale working)
+            return (variant, (gs if use_cfg else None),
+                    (phi if use_cfg and phi != 0.0 else None))
 
         def _send_503(self, e):
             self.send_response(503)
@@ -385,19 +410,21 @@ def make_handler(server, jpeg_encode, default_size=None,
 
         def _sample(self, seed: int, size=None, class_id=None,
                     payload=None, img2img=False, guidance=None,
-                    priority=1, steps=None, negative=None):
+                    priority=1, steps=None, negative=None,
+                    rescale=None):
             # every failure mode maps to a specific HTTP status, never a
             # dropped connection: 503 shed, 504 ttl-expired, 400 bad
-            # variant/class_id/payload/guidance/steps, 500 anything else
+            # variant/class_id/payload/guidance/steps/rescale, 500
+            # anything else
             from ldm_image_generator_tpu.serving import ServerOverloaded
 
             try:
-                variant, gs = self._route(size, guidance, img2img,
-                                          steps, negative)
+                variant, gs, phi = self._route(size, guidance, img2img,
+                                               steps, negative, rescale)
                 fut = server.submit(seed, variant=variant,
                                     class_id=class_id, payload=payload,
                                     guidance=gs, negative_class=negative,
-                                    priority=priority)
+                                    cfg_rescale=phi, priority=priority)
             except ServerOverloaded as e:
                 return self._send_503(e)
             except (KeyError, ValueError) as e:
@@ -421,7 +448,7 @@ def make_handler(server, jpeg_encode, default_size=None,
 
         def _sample_batch(self, seeds, size=None, class_id=None,
                           guidance=None, priority=1, steps=None,
-                          negative=None):
+                          negative=None, rescale=None):
             """Streamed batch sampling: submit every seed up front (so
             they coalesce into full device batches) and write each JPEG
             as a multipart/mixed part the moment its future resolves —
@@ -436,12 +463,15 @@ def make_handler(server, jpeg_encode, default_size=None,
 
             futs = {}
             try:
-                variant, gv = self._route(size, guidance, steps=steps,
-                                          negative=negative)
+                variant, gv, phi = self._route(size, guidance,
+                                               steps=steps,
+                                               negative=negative,
+                                               rescale=rescale)
                 for s in seeds:
                     futs[server.submit(s, variant=variant,
                                        class_id=class_id, guidance=gv,
                                        negative_class=negative,
+                                       cfg_rescale=phi,
                                        priority=priority)] = s
             except ServerOverloaded as e:
                 for f in futs:
@@ -523,6 +553,8 @@ def make_handler(server, jpeg_encode, default_size=None,
                     cid = self._parse_size(q.get("class_id", [None])[0])
                     raw_gs = q.get("guidance_scale", [None])[0]
                     gs = float(raw_gs) if raw_gs is not None else None
+                    raw_phi = q.get("cfg_rescale", [None])[0]
+                    phi = float(raw_phi) if raw_phi is not None else None
                     neg = self._parse_size(
                         q.get("negative_class", [None])[0])
                     nst = self._parse_size(q.get("steps", [None])[0])
@@ -533,7 +565,7 @@ def make_handler(server, jpeg_encode, default_size=None,
                         400, json.dumps({"error": f"bad arg: {e}"}).encode()
                     )
                 self._sample(seed, size, cid, guidance=gs, priority=prio,
-                             steps=nst, negative=neg)
+                             steps=nst, negative=neg, rescale=phi)
             elif url.path == "/sample_batch":
                 q = parse_qs(url.query)
                 try:
@@ -552,6 +584,8 @@ def make_handler(server, jpeg_encode, default_size=None,
                     cid = self._parse_size(q.get("class_id", [None])[0])
                     raw_gs = q.get("guidance_scale", [None])[0]
                     gs = float(raw_gs) if raw_gs is not None else None
+                    raw_phi = q.get("cfg_rescale", [None])[0]
+                    phi = float(raw_phi) if raw_phi is not None else None
                     neg = self._parse_size(
                         q.get("negative_class", [None])[0])
                     nst = self._parse_size(q.get("steps", [None])[0])
@@ -562,7 +596,8 @@ def make_handler(server, jpeg_encode, default_size=None,
                         400, json.dumps({"error": f"bad arg: {e}"}).encode()
                     )
                 self._sample_batch(seeds, size, cid, guidance=gs,
-                                   priority=prio, steps=nst, negative=neg)
+                                   priority=prio, steps=nst, negative=neg,
+                                   rescale=phi)
             else:
                 self._send(404, b'{"error": "not found"}')
 
@@ -589,6 +624,8 @@ def make_handler(server, jpeg_encode, default_size=None,
                 cid = self._parse_size(body.get("class_id"))
                 raw_gs = body.get("guidance_scale")
                 gs = float(raw_gs) if raw_gs is not None else None
+                raw_phi = body.get("cfg_rescale")
+                phi = float(raw_phi) if raw_phi is not None else None
                 neg = self._parse_size(body.get("negative_class"))
                 nst = self._parse_size(body.get("steps"))
                 prio = self._parse_priority(body.get("priority"))
@@ -631,7 +668,8 @@ def make_handler(server, jpeg_encode, default_size=None,
                 )
             self._sample(seed, size, cid, payload,
                          img2img=url.path == "/img2img", guidance=gs,
-                         priority=prio, steps=nst, negative=neg)
+                         priority=prio, steps=nst, negative=neg,
+                         rescale=phi)
 
     return Handler
 
@@ -675,7 +713,8 @@ def main(argv=None):
         make_handler(server, jpeg_encode, default_size,
                      default_guidance=args.guidance_scale,
                      step_tiers=step_tiers,
-                     default_steps=args.timesteps),
+                     default_steps=args.timesteps,
+                     default_rescale=args.cfg_rescale),
     )
     print(f"serving on http://{args.host}:{args.port}", flush=True)
     try:

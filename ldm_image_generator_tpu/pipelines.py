@@ -285,7 +285,12 @@ class LDMPipeline:
         `phi * rescaled + (1-phi) * guided`. Counters the
         over-saturation/blow-up failure of large guidance scales (the
         observed saturated-white collapse of guided samples,
-        QUALITY_COND_r04); 0 = off (plain CFG).
+        QUALITY_COND_r04); 0 = off (plain CFG). Either a static Python
+        float (baked into the program) or a traced f32 [batch] vector —
+        per-REQUEST phi for the serving layer, exactly like
+        guidance_scale: phi == 0 rows reduce to plain CFG (the blend is
+        an exact no-op at 0), so requests with and without a rescale
+        coalesce into one batch with one compiled program.
 
         negative_condition: optional int ids [batch] — negative-class
         guidance: the CFG baseline branch is conditioned on these ids
@@ -335,6 +340,15 @@ class LDMPipeline:
                 guidance_scale.astype(jnp.float32)[:, None, None, None]
                 if per_sample else guidance_scale
             )
+            per_sample_phi = isinstance(cfg_rescale, jnp.ndarray)
+            phi = (
+                cfg_rescale.astype(jnp.float32)[:, None, None, None]
+                if per_sample_phi else cfg_rescale
+            )
+            # a traced phi vector always takes the rescale path: phi == 0
+            # rows are exact no-ops (0 * rescaled + 1 * guided), so one
+            # compiled program serves every per-request phi
+            apply_rescale = per_sample_phi or cfg_rescale > 0.0
 
             def denoise(x, t_vec, k):
                 # same key both branches: identical MoE routing isolates
@@ -342,13 +356,12 @@ class LDMPipeline:
                 pred_c = base(x, t_vec, k, condition)
                 pred_u = base(x, t_vec, k, neg)
                 guided = pred_u + gs * (pred_c - pred_u)
-                if cfg_rescale > 0.0:
+                if apply_rescale:
                     ax = tuple(range(1, guided.ndim))
                     std_c = jnp.std(pred_c, axis=ax, keepdims=True)
                     std_g = jnp.std(guided, axis=ax, keepdims=True)
                     rescaled = guided * (std_c / (std_g + 1e-6))
-                    guided = (cfg_rescale * rescaled
-                              + (1.0 - cfg_rescale) * guided)
+                    guided = phi * rescaled + (1.0 - phi) * guided
                 return guided
 
             return denoise, base, use_cfg
@@ -377,6 +390,7 @@ class LDMPipeline:
         cache_interval: int = 1,
         cfg_rescale: float = 0.0,
         negative_condition: Optional[jnp.ndarray] = None,
+        cfg_rescales: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         """Returns uint8 images [batch, image_size, image_size, 3].
 
@@ -414,6 +428,10 @@ class LDMPipeline:
         cfg_rescale: guidance rescale phi in [0, 1]
         (arXiv:2305.08891 §3.4, see _denoise_fn); only meaningful with
         CFG active. Typical 0.5-0.7 at guidance >= 3.
+        cfg_rescales: traced f32 [batch] per-sample phi overriding
+        cfg_rescale — the serving layer's per-request rescale knob
+        (one compiled program for every phi; 0 rows are exact plain
+        CFG, see _denoise_fn). Ignored when CFG is off.
         negative_condition: optional int ids [batch] — negative-class
         guidance (see _denoise_fn): the CFG baseline is conditioned on
         these ids instead of the null class, steering away from them.
@@ -448,6 +466,7 @@ class LDMPipeline:
             num_steps, eta, sampler, film_cache, init_noise, steps,
             condition, guidance_scale, guidance_scales, cache_interval,
             cfg_rescale, film_pre, precast, negative_condition,
+            cfg_rescales,
         )
 
     @functools.partial(
@@ -475,6 +494,7 @@ class LDMPipeline:
         film_pre,
         precast: bool,
         negative_condition: Optional[jnp.ndarray] = None,
+        cfg_rescales: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         latent = image_size // self.vae_cfg.downscale
         shape = (batch, latent, latent, self.unet_cfg.input_channels)
@@ -489,7 +509,9 @@ class LDMPipeline:
             condition,
             guidance_scales if guidance_scales is not None
             else guidance_scale,
-            cfg_rescale=cfg_rescale, film_pre=film_pre,
+            cfg_rescale=(cfg_rescales if cfg_rescales is not None
+                         else cfg_rescale),
+            film_pre=film_pre,
             negative_condition=negative_condition,
         )
 
@@ -549,6 +571,7 @@ class LDMPipeline:
         guidance_scales: Optional[jnp.ndarray] = None,
         cfg_rescale: float = 0.0,
         negative_condition: Optional[jnp.ndarray] = None,
+        cfg_rescales: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         """Image-to-image / inpainting (SDEdit, arXiv:2108.01073): encode
         the input, diffuse it to t_start = strength * (T-1), then run the
@@ -613,6 +636,7 @@ class LDMPipeline:
             sub_steps, num_steps, eta, sampler, film_cache, mask,
             condition, guidance_scale, fwd_noise, guidance_scales,
             cfg_rescale, film_pre, precast, negative_condition,
+            cfg_rescales,
         )
 
     @functools.partial(
@@ -639,6 +663,7 @@ class LDMPipeline:
         film_pre,
         precast: bool,
         negative_condition: Optional[jnp.ndarray] = None,
+        cfg_rescales: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         t_start = sub_steps[-1]
         if not precast:
@@ -667,7 +692,9 @@ class LDMPipeline:
             condition,
             guidance_scales if guidance_scales is not None
             else guidance_scale,
-            cfg_rescale=cfg_rescale, film_pre=film_pre,
+            cfg_rescale=(cfg_rescales if cfg_rescales is not None
+                         else cfg_rescale),
+            film_pre=film_pre,
             negative_condition=negative_condition,
         )
 

@@ -71,8 +71,8 @@ class Variant:
     """A servable pipeline with optional per-request features.
 
     fn is called as fn(keys, batch[, class_ids][, guidance_scales]
-    [, negative_ids][, payload=...]): class_ids rides when the server
-    has num_classes set; guidance_scales (f32 [batch], when
+    [, negative_ids][, rescales][, payload=...]): class_ids rides when
+    the server has num_classes set; guidance_scales (f32 [batch], when
     takes_guidance) carries each request's classifier-free-guidance
     strength as a TRACED vector — one compiled program serves every
     scale and mixed-scale requests coalesce into the same batch
@@ -80,18 +80,23 @@ class Variant:
     negative_ids (int32 [batch], when takes_negative) carries each
     request's negative-class id for negative guidance — the null id
     (== num_classes) is a per-sample no-op, so requests with and
-    without a negative prompt share the batch; payload (e.g. an
-    img2img init image) when payload_shape is declared — requests to a
-    payload variant MUST supply a payload of that per-request shape,
-    which the worker stacks to [batch, *payload_shape] (zero rows
-    pad). Bare callables passed to SamplerServer are wrapped as
-    Variant(fn) — the no-payload contract is unchanged."""
+    without a negative prompt share the batch; rescales (f32 [batch],
+    when takes_rescale) carries each request's CFG-rescale phi
+    (arXiv:2305.08891 §3.4) — phi == 0 rows are exact plain CFG, so
+    requests with and without a rescale share the batch too; payload
+    (e.g. an img2img init image) when payload_shape is declared —
+    requests to a payload variant MUST supply a payload of that
+    per-request shape, which the worker stacks to
+    [batch, *payload_shape] (zero rows pad). Bare callables passed to
+    SamplerServer are wrapped as Variant(fn) — the no-payload contract
+    is unchanged."""
 
     fn: object
     payload_shape: Optional[Tuple[int, ...]] = None
     payload_dtype: object = np.float32
     takes_guidance: bool = False
     takes_negative: bool = False
+    takes_rescale: bool = False
 
 
 # _take_group's "nothing to dispatch" sentinel — must be distinct from
@@ -111,6 +116,7 @@ class _Request:
     payload: Optional[np.ndarray] = None  # payload variants only
     guidance: Optional[float] = None  # takes_guidance variants only
     negative: Optional[int] = None    # takes_negative variants only
+    rescale: Optional[float] = None   # takes_rescale variants only
     priority: int = 1          # 0 = interactive .. 2 = background
 
 
@@ -285,11 +291,12 @@ class SamplerServer:
                 np.asarray(self._dispatch(v, keys, b, None, payload))
 
     def _dispatch(self, v: Variant, keys, bucket, ids, payload,
-                  guidance=None, negative=None):
+                  guidance=None, negative=None, rescale=None):
         """Call a variant fn with exactly the features it declares.
         ids=None means all-null on conditional servers; guidance=None
         means all-1.0 on takes_guidance variants; negative=None means
-        all-null on takes_negative variants."""
+        all-null on takes_negative variants; rescale=None means all-0.0
+        (plain CFG) on takes_rescale variants."""
         args = [keys, bucket]
         if self.num_classes is not None:
             if ids is None:
@@ -305,6 +312,10 @@ class SamplerServer:
                 negative = jax.numpy.full((bucket,), self.num_classes,
                                           jax.numpy.int32)
             args.append(negative)
+        if v.takes_rescale:
+            if rescale is None:
+                rescale = jax.numpy.zeros((bucket,), jax.numpy.float32)
+            args.append(rescale)
         kwargs = {}
         if v.payload_shape is not None:
             kwargs["payload"] = payload
@@ -335,6 +346,7 @@ class SamplerServer:
                payload: Optional[np.ndarray] = None,
                guidance: Optional[float] = None,
                negative_class: Optional[int] = None,
+               cfg_rescale: Optional[float] = None,
                priority: int = 1) -> Future:
         """Enqueue one image request; resolves to uint8 [H, W, 3].
 
@@ -345,7 +357,9 @@ class SamplerServer:
         for a class_id on an unconditional server or out of range, for a
         missing/mis-shaped payload on a payload variant, for a guidance
         scale on a variant that does not take one (or a non-finite one),
-        or for a priority outside [0, len(admit_fractions)). ttl_s (or
+        for a cfg_rescale outside [0, 1] or on a variant that does not
+        take one, or for a priority outside [0, len(admit_fractions)).
+        ttl_s (or
         the server default) bounds queue time: expired requests resolve
         to TimeoutError without burning a batch slot. Cancelling the
         returned future before dispatch also frees the slot. priority
@@ -381,6 +395,16 @@ class SamplerServer:
             guidance = float(guidance)
             if not np.isfinite(guidance):
                 raise ValueError(f"non-finite guidance scale {guidance}")
+        if cfg_rescale is not None:
+            if not v.takes_rescale:
+                raise ValueError(
+                    f"variant {variant!r} does not take a cfg_rescale"
+                )
+            cfg_rescale = float(cfg_rescale)
+            if not (np.isfinite(cfg_rescale) and 0.0 <= cfg_rescale <= 1.0):
+                raise ValueError(
+                    f"cfg_rescale must be in [0, 1], got {cfg_rescale}"
+                )
         if negative_class is not None:
             if not v.takes_negative:
                 raise ValueError(
@@ -429,7 +453,7 @@ class SamplerServer:
                        now + ttl if ttl is not None else None,
                        class_id=class_id, payload=payload,
                        guidance=guidance, negative=negative_class,
-                       priority=priority)
+                       rescale=cfg_rescale, priority=priority)
         try:
             self._q.put_nowait(req)
         except queue.Full:
@@ -587,9 +611,17 @@ class SamplerServer:
                          for r in group] + [null] * pad,
                         jax.numpy.int32,
                     )
+                rescale = None
+                if v.takes_rescale:
+                    # None / padding -> phi 0.0 (exact plain CFG)
+                    rescale = jax.numpy.asarray(
+                        [0.0 if r.rescale is None else r.rescale
+                         for r in group] + [0.0] * pad,
+                        jax.numpy.float32,
+                    )
                 imgs = np.asarray(
                     self._dispatch(v, keys, bucket, ids, payload,
-                                   guidance, negative)
+                                   guidance, negative, rescale)
                 )
                 self.stats.add(batches=1, images=len(group),
                                padded_images=pad)

@@ -293,6 +293,44 @@ def test_cfg_rescale_matches_reference_formula():
                                rtol=1e-6, atol=1e-6)
 
 
+def test_per_sample_cfg_rescales_match_static():
+    """cfg_rescales (traced f32 [batch] phi vector, the serving layer's
+    per-request rescale knob): each row must match the static-phi
+    program at that row's value — phi 0 rows are EXACT plain CFG (the
+    coalescing contract: requests with and without a rescale share one
+    compiled batch, pipelines._denoise_fn apply_rescale)."""
+    from ldm_image_generator_tpu.pipelines import LDMPipeline
+
+    ucfg = cond_cfg()
+    vcfg = VAEConfig().tiny()
+    pipe = LDMPipeline(ucfg, vcfg, DDPMConfig(), dtype=jnp.float32)
+    key = jax.random.PRNGKey(0)
+    z = jnp.zeros((1, 8, 8, ucfg.input_channels), jnp.float32)
+    t = jnp.zeros((1,), jnp.int32)
+    up = pipe.unet.init({"params": key, "moe": key}, z, t)
+    dp = pipe.decoder.init(jax.random.PRNGKey(1), z)
+
+    cond = jnp.asarray([1, 2], jnp.int32)
+    kw = dict(batch=2, image_size=16, num_steps=4, condition=cond,
+              guidance_scale=3.0)
+    seed = jax.random.PRNGKey(2)
+
+    mixed = pipe.sample(up, dp, seed,
+                        cfg_rescales=jnp.asarray([0.7, 0.0]), **kw)
+    static = pipe.sample(up, dp, seed, cfg_rescale=0.7, **kw)
+    plain = pipe.sample(up, dp, seed, **kw)
+
+    # phi 0.7 row == static-0.7 program's row (same math, traced phi;
+    # allow one uint8 step for fusion-order rounding)
+    assert np.max(np.abs(np.asarray(mixed[0], np.int32)
+                         - np.asarray(static[0], np.int32))) <= 1
+    # phi 0 row is exact plain CFG (0 * rescaled + 1 * guided)
+    np.testing.assert_array_equal(np.asarray(mixed[1]),
+                                  np.asarray(plain[1]))
+    # and the two rows genuinely differ from swapping programs
+    assert np.any(np.asarray(mixed[0]) != np.asarray(plain[0]))
+
+
 def test_negative_condition_null_is_noop_and_steers():
     """Negative-class guidance (pipelines._denoise_fn negative_condition):
     the null id (== num_classes) must reproduce plain CFG bit-exactly

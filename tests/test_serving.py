@@ -961,3 +961,118 @@ def test_http_negative_class_routes_and_validates():
     finally:
         httpd.shutdown()
         srv.stop()
+
+
+def test_rescale_variant_batching_and_validation():
+    """takes_rescale variants receive per-request CFG-rescale phis as a
+    traced f32 row; None and padding ride as 0.0 (exact plain CFG), so
+    mixed phi/no-phi requests coalesce (serving.Variant.takes_rescale,
+    cli/serve.py cfg_rescale)."""
+    from ldm_image_generator_tpu.serving import Variant
+
+    def fn(keys, batch, guidance_scales, rescales):
+        # encode each request's phi into its image so the test can
+        # verify per-request rescale routing through batching
+        imgs = jnp.broadcast_to(
+            (rescales * 100.0)[:, None, None, None], (batch, 8, 8, 3)
+        )
+        return imgs.astype(jnp.uint8)
+
+    srv = SamplerServer(
+        {"gen": make_tiny_sample(),
+         "cfg": Variant(fn, takes_guidance=True, takes_rescale=True)},
+        batch_buckets=(1, 2, 4), max_wait_ms=20,
+    )
+    srv.warmup()
+    with srv:
+        f1 = srv.submit(1, variant="cfg", guidance=3.0, cfg_rescale=0.7)
+        f2 = srv.submit(2, variant="cfg", guidance=3.0, cfg_rescale=0.25)
+        f3 = srv.submit(3, variant="cfg", guidance=3.0)  # -> phi 0.0
+        a, b, c = (f.result(timeout=30) for f in (f1, f2, f3))
+    assert a[0, 0, 0] == 70 and b[0, 0, 0] == 25  # mixed phis, one batch
+    assert c[0, 0, 0] == 0
+
+    with pytest.raises(ValueError, match="does not take"):
+        srv.submit(0, variant="gen", cfg_rescale=0.5)
+    with pytest.raises(ValueError, match=r"\[0, 1\]"):
+        srv.submit(0, variant="cfg", guidance=3.0, cfg_rescale=1.5)
+    with pytest.raises(ValueError, match=r"\[0, 1\]"):
+        srv.submit(0, variant="cfg", guidance=3.0,
+                   cfg_rescale=float("nan"))
+
+
+def test_http_cfg_rescale_per_request_and_default():
+    """cfg_rescale rides per request on guided traffic (cli/serve.py):
+    an explicit phi reaches the variant, an absent one falls back to the
+    server's --cfg-rescale default, phi at guidance 1.0 is 400, and an
+    out-of-range phi is 400 (submit validation)."""
+    import http.client
+    import io
+    from http.server import ThreadingHTTPServer
+
+    import PIL.Image
+
+    from ldm_image_generator_tpu.cli.serve import make_handler
+    from ldm_image_generator_tpu.serving import Variant
+
+    def plain(keys, batch, class_ids):
+        return jnp.zeros((batch, 8, 8, 3), jnp.uint8)
+
+    def cfg(keys, batch, class_ids, guidance_scales, rescales):
+        imgs = jnp.broadcast_to(
+            (rescales * 100.0)[:, None, None, None], (batch, 8, 8, 3)
+        )
+        return imgs.astype(jnp.uint8)
+
+    srv = SamplerServer(
+        {8: plain,
+         ("cfg", 8): Variant(cfg, takes_guidance=True,
+                             takes_rescale=True)},
+        batch_buckets=(1, 2), max_wait_ms=5, num_classes=4,
+    )
+    srv.start()
+
+    def jpeg_encode(img):
+        buf = io.BytesIO()
+        PIL.Image.fromarray(np.asarray(img)).save(buf, format="JPEG")
+        return buf.getvalue()
+
+    httpd = ThreadingHTTPServer(
+        ("127.0.0.1", 0),
+        make_handler(srv, jpeg_encode, default_size=8,
+                     default_guidance=1.0, default_rescale=0.25),
+    )
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+
+    def fetch(path):
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        conn.request("GET", path)
+        r = conn.getresponse()
+        body = r.read()
+        conn.close()
+        return r.status, body
+
+    try:
+        # explicit phi reaches the variant (0.5 * 100 = 50)
+        st, body = fetch("/sample?seed=1&class_id=2&guidance_scale=3.0"
+                         "&cfg_rescale=0.5")
+        assert st == 200
+        img = np.asarray(PIL.Image.open(io.BytesIO(body)))
+        assert abs(float(img.mean()) - 50.0) < 10
+        # absent phi -> the server default (0.25 * 100 = 25)
+        st, body = fetch("/sample?seed=1&class_id=2&guidance_scale=3.0")
+        assert st == 200
+        img = np.asarray(PIL.Image.open(io.BytesIO(body)))
+        assert abs(float(img.mean()) - 25.0) < 10
+        # explicit phi at guidance 1.0 -> 400 with the explicit reason
+        st, body = fetch("/sample?seed=1&class_id=2&cfg_rescale=0.5")
+        assert st == 400 and b"no effect" in body
+        # out-of-range phi -> 400 (submit validation)
+        st, body = fetch("/sample?seed=1&class_id=2&guidance_scale=3.0"
+                         "&cfg_rescale=1.5")
+        assert st == 400 and b"[0, 1]" in body
+    finally:
+        httpd.shutdown()
+        srv.stop()
