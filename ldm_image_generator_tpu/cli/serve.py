@@ -12,6 +12,10 @@ requests are coalesced into fixed jitted batch buckets
     GET  /healthz                          -> {"ok": true, stats...}
     GET  /stats                            -> full counters + latency
                                               histograms (p50/p90/p99)
+    GET  /metrics                          -> Prometheus text exposition
+                                              (counters, queue gauges,
+                                              latency + queue-wait
+                                              histograms in seconds)
     GET  /sample?seed=123[&size=512][&class_id=7][&guidance_scale=3.0]
                  [&cfg_rescale=0.7][&negative_class=2]
                  [&priority=high|normal|low][&steps=10]
@@ -28,6 +32,17 @@ requests are coalesced into fixed jitted batch buckets
                    "guidance_scale": 3.0, "cfg_rescale": 0.7,
                    "priority": "low"}
                                            -> image/jpeg
+    POST /sample_batch {"items": [{"seed": 1, "class_id": 3},
+                                  {"seed": 2, "guidance_scale": 2.0},
+                                  ...], ...per-request defaults}
+                       | {"seeds": [1, 2, 3], ...shared options}
+                                           -> multipart/mixed stream
+                                              (X-Index + X-Seed parts):
+                                              a HETEROGENEOUS batch —
+                                              every item carries its own
+                                              options; items on the same
+                                              cost bucket still coalesce
+                                              into one device batch
     POST /img2img {"seed": 1, "image": "<base64>"[, "size", "class_id",
                    "guidance_scale", "cfg_rescale", "priority"]}
                                            -> image/jpeg (needs
@@ -446,33 +461,41 @@ def make_handler(server, jpeg_encode, default_size=None,
 
         MAX_BATCH_SEEDS = 64
 
-        def _sample_batch(self, seeds, size=None, class_id=None,
-                          guidance=None, priority=1, steps=None,
-                          negative=None, rescale=None):
-            """Streamed batch sampling: submit every seed up front (so
-            they coalesce into full device batches) and write each JPEG
-            as a multipart/mixed part the moment its future resolves —
-            the client renders images as they complete instead of
-            waiting for the slowest. Parts carry X-Seed; a failed seed
-            becomes an application/json part instead of killing the
-            stream. Close-delimited body (HTTP/1.0 semantics): no
-            Content-Length, the terminating boundary ends the stream."""
+        def _sample_batch(self, items):
+            """Streamed batch sampling: submit every request up front
+            (so they coalesce into full device batches) and write each
+            JPEG as a multipart/mixed part the moment its future
+            resolves — the client renders images as they complete
+            instead of waiting for the slowest. `items` is a list of
+            per-request option dicts (seed/size/class_id/guidance/
+            steps/negative/rescale/priority) — a HETEROGENEOUS batch:
+            each item routes independently, and items that land on the
+            same cost bucket still coalesce into one device batch
+            (guidance/rescale/negative ride as traced rows). Parts
+            carry X-Index (position in the request) and X-Seed; a
+            failed item becomes an application/json part instead of
+            killing the stream. Close-delimited body (HTTP/1.0
+            semantics): no Content-Length, the terminating boundary
+            ends the stream."""
             from concurrent.futures import as_completed
 
             from ldm_image_generator_tpu.serving import ServerOverloaded
 
             futs = {}
             try:
-                variant, gv, phi = self._route(size, guidance,
-                                               steps=steps,
-                                               negative=negative,
-                                               rescale=rescale)
-                for s in seeds:
-                    futs[server.submit(s, variant=variant,
-                                       class_id=class_id, guidance=gv,
-                                       negative_class=negative,
-                                       cfg_rescale=phi,
-                                       priority=priority)] = s
+                for i, it in enumerate(items):
+                    variant, gv, phi = self._route(
+                        it.get("size"), it.get("guidance"),
+                        steps=it.get("steps"),
+                        negative=it.get("negative"),
+                        rescale=it.get("rescale"))
+                    futs[server.submit(
+                        it["seed"], variant=variant,
+                        class_id=it.get("class_id"), guidance=gv,
+                        negative_class=it.get("negative"),
+                        cfg_rescale=phi,
+                        priority=it.get("priority", 1),
+                    )] = (i, it["seed"])
             except ServerOverloaded as e:
                 for f in futs:
                     f.cancel()
@@ -490,18 +513,18 @@ def make_handler(server, jpeg_encode, default_size=None,
             self.send_header("Connection", "close")
             self.end_headers()
             for fut in as_completed(list(futs), timeout=600):
-                seed = futs[fut]
+                index, seed = futs[fut]
                 try:
                     body = jpeg_encode(fut.result())
                     ctype = "image/jpeg"
                 except Exception as e:
-                    body = json.dumps(
-                        {"seed": seed, "error": str(e)}).encode()
+                    body = json.dumps({"index": index, "seed": seed,
+                                       "error": str(e)}).encode()
                     ctype = "application/json"
                 try:
                     self.wfile.write(
                         f"--{boundary}\r\nContent-Type: {ctype}\r\n"
-                        f"X-Seed: {seed}\r\n"
+                        f"X-Index: {index}\r\nX-Seed: {seed}\r\n"
                         f"Content-Length: {len(body)}\r\n\r\n".encode())
                     self.wfile.write(body)
                     self.wfile.write(b"\r\n")
@@ -531,6 +554,32 @@ def make_handler(server, jpeg_encode, default_size=None,
             """Optional-int parse (size, class_id): None passes through
             (server default / unconditional); raises ValueError."""
             return int(raw) if raw is not None else None
+
+        @classmethod
+        def _parse_item(cls, obj, defaults=None):
+            """One request's options (JSON body object or already-
+            parsed values) -> the _sample_batch item dict. Missing keys
+            fall back to `defaults` (the request-level options), then
+            to the server defaults. Raises ValueError/TypeError on
+            malformed values (mapped to 400 by the callers)."""
+            d = defaults or {}
+
+            def pick(key):
+                v = obj.get(key)
+                return v if v is not None else d.get(key)
+
+            raw_gs = pick("guidance_scale")
+            raw_phi = pick("cfg_rescale")
+            return {
+                "seed": int(obj.get("seed", 0)),
+                "size": cls._parse_size(pick("size")),
+                "class_id": cls._parse_size(pick("class_id")),
+                "guidance": float(raw_gs) if raw_gs is not None else None,
+                "rescale": float(raw_phi) if raw_phi is not None else None,
+                "negative": cls._parse_size(pick("negative_class")),
+                "steps": cls._parse_size(pick("steps")),
+                "priority": cls._parse_priority(pick("priority")),
+            }
 
         def do_GET(self):
             url = urlparse(self.path)
@@ -595,9 +644,13 @@ def make_handler(server, jpeg_encode, default_size=None,
                     return self._send(
                         400, json.dumps({"error": f"bad arg: {e}"}).encode()
                     )
-                self._sample_batch(seeds, size, cid, guidance=gs,
-                                   priority=prio, steps=nst, negative=neg,
-                                   rescale=phi)
+                item = {"size": size, "class_id": cid, "guidance": gs,
+                        "steps": nst, "negative": neg, "rescale": phi,
+                        "priority": prio}
+                self._sample_batch([dict(item, seed=s) for s in seeds])
+            elif url.path == "/metrics":
+                self._send(200, server.prometheus().encode(),
+                           "text/plain; version=0.0.4; charset=utf-8")
             else:
                 self._send(404, b'{"error": "not found"}')
 
@@ -610,13 +663,40 @@ def make_handler(server, jpeg_encode, default_size=None,
 
         def do_POST(self):
             url = urlparse(self.path)
-            if url.path not in ("/sample", "/img2img"):
+            if url.path not in ("/sample", "/img2img", "/sample_batch"):
                 return self._send(404, b'{"error": "not found"}')
             n = int(self.headers.get("Content-Length", 0))
             if n > self.MAX_BODY_BYTES:
                 return self._send(413, json.dumps(
                     {"error": f"body too large ({n} bytes > "
                               f"{self.MAX_BODY_BYTES})"}).encode())
+            if url.path == "/sample_batch":
+                # heterogeneous streamed batch: {"items": [{...}, ...]}
+                # with per-item seed/size/class_id/guidance_scale/
+                # cfg_rescale/negative_class/steps/priority (top-level
+                # keys are per-request defaults), or the homogeneous
+                # {"seeds": [...], ...options} shorthand. Items that
+                # route to the same cost bucket coalesce on-device.
+                try:
+                    body = json.loads(self.rfile.read(n) or b"{}")
+                    if "items" in body:
+                        raw_items = body["items"]
+                        if not isinstance(raw_items, list) or not all(
+                                isinstance(o, dict) for o in raw_items):
+                            raise ValueError(
+                                "items must be a list of objects")
+                    else:
+                        raw_items = [{"seed": s} for s in body["seeds"]]
+                    if not 1 <= len(raw_items) <= self.MAX_BATCH_SEEDS:
+                        raise ValueError(
+                            f"need 1..{self.MAX_BATCH_SEEDS} items, "
+                            f"got {len(raw_items)}")
+                    items = [self._parse_item(o, defaults=body)
+                             for o in raw_items]
+                except (KeyError, ValueError, TypeError) as e:
+                    return self._send(400, json.dumps(
+                        {"error": f"bad request: {e}"}).encode())
+                return self._sample_batch(items)
             try:
                 body = json.loads(self.rfile.read(n) or b"{}")
                 seed = int(body.get("seed", 0))

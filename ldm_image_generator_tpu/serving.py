@@ -170,6 +170,20 @@ class Histogram:
             },
         }
 
+    def prometheus_lines(self, name: str, help_text: str) -> list:
+        """Prometheus text-exposition histogram (cumulative buckets,
+        base unit seconds per convention — edges are _HIST_EDGES_MS/1e3)."""
+        lines = [f"# HELP {name} {help_text}",
+                 f"# TYPE {name} histogram"]
+        acc = 0
+        for edge_ms, c in zip(_HIST_EDGES_MS, self.counts):
+            acc += c
+            lines.append(f'{name}_bucket{{le="{edge_ms / 1000.0}"}} {acc}')
+        lines.append(f'{name}_bucket{{le="+Inf"}} {self.total}')
+        lines.append(f"{name}_sum {self.sum_ms / 1000.0}")
+        lines.append(f"{name}_count {self.total}")
+        return lines
+
 
 @dataclasses.dataclass
 class ServerStats:
@@ -214,6 +228,47 @@ class ServerStats:
                 "latency": self.latency.summary(),
                 "queue_wait": self.queue_wait.summary(),
             }
+
+    _PROM_COUNTERS = (
+        ("requests", "ldm_requests_total",
+         "requests accepted by submit()"),
+        ("batches", "ldm_batches_total",
+         "device batches dispatched"),
+        ("images", "ldm_images_total",
+         "real (non-padding) images produced"),
+        ("padded_images", "ldm_padded_images_total",
+         "padding slots burned rounding groups up to a bucket"),
+        ("shed", "ldm_shed_total",
+         "requests rejected at submit (queue full / admission share)"),
+        ("expired", "ldm_expired_total",
+         "requests whose TTL passed while queued"),
+        ("cancelled", "ldm_cancelled_total",
+         "futures cancelled before dispatch"),
+    )
+
+    def prometheus(self, gauges: Optional[dict] = None) -> str:
+        """Prometheus text-exposition rendering of every counter and
+        histogram (plus caller-supplied gauges, e.g. queue depth) — the
+        /metrics scrape body. Same lock discipline as snapshot()."""
+        with self._lock:
+            lines = []
+            for attr, name, help_text in self._PROM_COUNTERS:
+                lines += [f"# HELP {name} {help_text}",
+                          f"# TYPE {name} counter",
+                          f"{name} {getattr(self, attr)}"]
+            lines += ["# HELP ldm_mean_batch_size mean real images per "
+                      "dispatched batch",
+                      "# TYPE ldm_mean_batch_size gauge",
+                      f"ldm_mean_batch_size {self.mean_batch}"]
+            for key, val in (gauges or {}).items():
+                lines += [f"# TYPE {key} gauge", f"{key} {val}"]
+            lines += self.latency.prometheus_lines(
+                "ldm_request_latency_seconds",
+                "end-to-end latency, submit to result")
+            lines += self.queue_wait.prometheus_lines(
+                "ldm_queue_wait_seconds",
+                "queue wait, submit to batch dispatch")
+            return "\n".join(lines) + "\n"
 
 
 class SamplerServer:
@@ -467,6 +522,14 @@ class SamplerServer:
     def sample_sync(self, seed: int, timeout: Optional[float] = None,
                     variant: object = None):
         return self.submit(seed, variant=variant).result(timeout=timeout)
+
+    def prometheus(self) -> str:
+        """Prometheus text exposition for GET /metrics: all ServerStats
+        counters/histograms plus live queue gauges."""
+        return self.stats.prometheus(gauges={
+            "ldm_queue_depth": self._q.qsize(),
+            "ldm_queue_capacity": self._q.maxsize,
+        })
 
     # -- worker --------------------------------------------------------------
     def _reap(self, reqs) -> list:
